@@ -1,0 +1,134 @@
+"""SPMD backend abstraction: one program, three execution modes.
+
+The reference's single most important design decision is its L1 backend
+abstraction (serial Vector / DebugArray / MPIArray — reference:
+src/debug_array.jl, src/mpi_array.jl, selected via with_debug/with_mpi).
+The TPU-native equivalent: all per-part algorithm code is written once as an
+SPMD function over *per-part* array slices, using named-axis collectives
+(``psum``/``ppermute``/``all_to_all``/``all_gather`` over axis ``"parts"``),
+and is executed through one of two mechanically equivalent drivers:
+
+- **SerialBackend** ("debug" analogue): ``jax.vmap(f, axis_name="parts")``
+  over a stacked leading part axis — all parts on ONE device, collectives
+  become index shuffles.  Bit-identical semantics to the mesh run, usable on
+  CPU and on a single TPU chip.
+- **MeshBackend** (the distributed path): ``jax.shard_map`` over a
+  ``jax.sharding.Mesh`` axis ``"parts"`` — one part per device, collectives
+  ride ICI/DCN as real XLA collectives.
+
+Convention: every array leaf entering/leaving a backend-run function carries
+a leading part axis of length ``n_parts``; per-part code sees the slice
+without that axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+AXIS = "parts"
+
+
+class Backend:
+    """Base: drives SPMD per-part functions over stacked part arrays."""
+
+    kind: str
+    n_parts: int
+
+    def spmd(self, f: Callable) -> Callable:
+        raise NotImplementedError
+
+    def shard(self, tree):
+        """Place stacked arrays on the backend's devices (no-op on serial)."""
+        return tree
+
+    def axis_name(self) -> str:
+        return AXIS
+
+
+class SerialBackend(Backend):
+    kind = "serial"
+
+    def __init__(self, n_parts: int):
+        self.n_parts = int(n_parts)
+
+    def spmd(self, f: Callable) -> Callable:
+        return jax.vmap(f, axis_name=AXIS)
+
+    def __repr__(self):
+        return f"SerialBackend(n_parts={self.n_parts})"
+
+
+class MeshBackend(Backend):
+    kind = "mesh"
+
+    def __init__(self, mesh: Optional[Mesh] = None, devices=None):
+        if mesh is None:
+            devices = np.array(devices if devices is not None else jax.devices())
+            mesh = Mesh(devices, (AXIS,))
+        self.mesh = mesh
+        self.n_parts = mesh.shape[AXIS]
+
+    def spmd(self, f: Callable) -> Callable:
+        spec = PartitionSpec(AXIS)
+
+        def per_shard(*args):
+            sliced = jax.tree.map(lambda x: x[0], args)
+            out = f(*sliced)
+            return jax.tree.map(lambda x: jnp.asarray(x)[None], out)
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=spec,
+            out_specs=spec,
+            check_vma=False,
+        )
+        return fn
+
+    def shard(self, tree):
+        sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def __repr__(self):
+        return f"MeshBackend(n_parts={self.n_parts})"
+
+
+# -- entry points (parity: with_debug src/debug_array.jl:7, with_mpi
+#    src/mpi_array.jl:64) ----------------------------------------------------
+
+def serial_backend(n_parts: int) -> SerialBackend:
+    return SerialBackend(n_parts)
+
+
+def mesh_backend(mesh: Optional[Mesh] = None, devices=None) -> MeshBackend:
+    return MeshBackend(mesh, devices)
+
+
+def with_serial(f: Callable, n_parts: int):
+    """Run ``f(backend)`` on the serial (debug-analogue) backend."""
+    return f(SerialBackend(n_parts))
+
+
+def with_mesh(f: Callable, mesh: Optional[Mesh] = None):
+    """Run ``f(backend)`` on a device-mesh backend."""
+    return f(MeshBackend(mesh))
+
+
+# parity alias: the reference's debug entry point
+with_debug = with_serial
+
+
+def stack_parts(parts: Sequence[np.ndarray], pad_to: Optional[int] = None, fill=0):
+    """Stack ragged per-part host arrays into one padded [P, n_pad, ...] array."""
+    parts = [np.asarray(p) for p in parts]
+    n = pad_to if pad_to is not None else max((p.shape[0] for p in parts), default=0)
+    trail = parts[0].shape[1:] if parts else ()
+    out = np.full((len(parts), n) + trail, fill, dtype=parts[0].dtype if parts else np.float32)
+    for i, p in enumerate(parts):
+        out[i, : p.shape[0]] = p
+    return out

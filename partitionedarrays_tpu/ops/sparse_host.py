@@ -1,0 +1,149 @@
+"""Host-side (setup-time) sparse kernels over scipy/numpy CSR matrices.
+
+Capability parity with the reference's format-generic sparse utilities
+(reference: src/sparse_utils.jl): ``compresscoo`` (:286-350),
+``nzindex``/``precompute_nzindex``/``sparse_matrix[!]`` (:256-466),
+``spmv``/``spmtv`` (:609-690), ``SubSparseMatrix`` (:127-248).
+
+Design note (TPU-first): these run on *host* during problem assembly and
+solver setup only.  The per-iteration device path uses the padded ELL layout
+(ops/ell.py) and XLA/Pallas kernels; re-assembly at fixed sparsity
+(``sparse_matrix!`` parity) becomes a pure device gather using the
+``precompute_nzindex`` permutation, so refilling values never leaves the
+device once the pattern is frozen.
+
+All indices are 0-based. "Skip" entries are marked with negative indices
+(reference uses ids < 1, FilteredCooVector src/sparse_utils.jl:370-390).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def compresscoo(I, J, V, m: int, n: int, combine="add") -> sp.csr_matrix:
+    """COO triplets -> CSR with duplicates combined (default: summed).
+
+    Entries with a negative row or column index are dropped (FilteredCooVector
+    semantics, src/sparse_utils.jl:370-390).
+    Parity: compresscoo (src/sparse_utils.jl:286-350).
+    """
+    I = np.asarray(I)
+    J = np.asarray(J)
+    V = np.asarray(V)
+    keep = (I >= 0) & (J >= 0)
+    if not keep.all():
+        I, J, V = I[keep], J[keep], V[keep]
+    A = sp.coo_matrix((V, (I, J)), shape=(m, n))
+    if combine == "add":
+        A.sum_duplicates()
+    A = A.tocsr()
+    A.sort_indices()
+    return A
+
+
+def nzindex(A: sp.csr_matrix, i: int, j: int) -> int:
+    """Position of entry (i, j) in A's nonzero storage; -1 if not stored.
+
+    Parity: nzindex (src/sparse_utils.jl:256-278).
+    """
+    lo, hi = A.indptr[i], A.indptr[i + 1]
+    k = np.searchsorted(A.indices[lo:hi], j)
+    if k < hi - lo and A.indices[lo + k] == j:
+        return int(lo + k)
+    return -1
+
+
+def precompute_nzindex(A: sp.csr_matrix, I, J) -> np.ndarray:
+    """For each triplet (I[k], J[k]) return its position in A.data (-1 if
+    dropped / not present).
+
+    This permutation lets ``sparse_matrix_refill`` (and the device-side
+    ``psparse!`` analogue) refill values at fixed sparsity with a single
+    scatter-add.  Parity: precompute_nzindex (src/sparse_utils.jl:434-452).
+    """
+    I = np.asarray(I)
+    J = np.asarray(J)
+    K = np.full(I.shape[0], -1, dtype=np.int64)
+    indptr, indices = A.indptr, A.indices
+    valid = (I >= 0) & (J >= 0)
+    iv = I[valid]
+    jv = J[valid]
+    lo = indptr[iv]
+    hi = indptr[iv + 1]
+    # vectorized binary search per row segment
+    out = np.full(iv.shape[0], -1, dtype=np.int64)
+    # fall back to a loop over the (already reduced) valid set; row segments
+    # are tiny for the matrices we target (stencils/FEM).
+    for t in range(iv.shape[0]):
+        a, b = lo[t], hi[t]
+        k = np.searchsorted(indices[a:b], jv[t])
+        if k < b - a and indices[a + k] == jv[t]:
+            out[t] = a + k
+    K[valid] = out
+    return K
+
+
+def sparse_matrix(I, J, V, m: int, n: int, reuse: bool = False):
+    """Build CSR from COO; with ``reuse=True`` also return the refill cache.
+
+    Parity: sparse_matrix / sparse_matrix! (src/sparse_utils.jl:392-466).
+    """
+    A = compresscoo(I, J, V, m, n)
+    if reuse:
+        K = precompute_nzindex(A, I, J)
+        return A, K
+    return A
+
+
+def sparse_matrix_refill(A: sp.csr_matrix, V, K, reset: bool = True) -> None:
+    """In-place refill of A.data from triplet values V at cached positions K.
+
+    Parity: sparse_matrix! (src/sparse_utils.jl:454-466).
+    """
+    if reset:
+        A.data[:] = 0
+    valid = K >= 0
+    np.add.at(A.data, K[valid], np.asarray(V)[valid])
+
+
+def spmv(A: sp.spmatrix, x: np.ndarray) -> np.ndarray:
+    """y = A x (host reference kernel; parity: spmv! src/sparse_utils.jl:609)."""
+    return A @ x
+
+
+def spmtv(A: sp.spmatrix, x: np.ndarray) -> np.ndarray:
+    """y = A' x (parity: spmtv! src/sparse_utils.jl:633-647)."""
+    return A.T @ x
+
+
+def sub_sparse_matrix(
+    A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
+) -> sp.csr_matrix:
+    """Materialized sub-block A[rows, cols] (parity: the lazy SubSparseMatrix
+    view, src/sparse_utils.jl:127-211; on host we materialize since this runs
+    only at setup)."""
+    return A[np.asarray(rows)][:, np.asarray(cols)].tocsr()
+
+
+def split_locally(
+    A: sp.spmatrix,
+    own_rows: np.ndarray,
+    ghost_rows: np.ndarray,
+    own_cols: np.ndarray,
+    ghost_cols: np.ndarray,
+) -> Tuple[sp.csr_matrix, sp.csr_matrix, sp.csr_matrix, sp.csr_matrix]:
+    """Classify a local matrix into the 4 split blocks
+    (own_own, own_ghost, ghost_own, ghost_ghost).
+
+    Row/col index spaces of the returned blocks are the *own* and *ghost*
+    numberings.  Parity: split_format_locally (src/p_sparse_matrix.jl:823-935).
+    """
+    A = A.tocsr()
+    oo = sub_sparse_matrix(A, own_rows, own_cols)
+    oh = sub_sparse_matrix(A, own_rows, ghost_cols)
+    ho = sub_sparse_matrix(A, ghost_rows, own_cols)
+    hh = sub_sparse_matrix(A, ghost_rows, ghost_cols)
+    return oo, oh, ho, hh

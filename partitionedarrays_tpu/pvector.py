@@ -1,0 +1,456 @@
+"""PVector: a partitioned (distributed) vector in split own/ghost format.
+
+Capability parity with the reference's PVector (src/p_vector.jl): split
+own+ghost storage (SplitVector, :120-265), ``consistent``/``assemble``
+(:583-755), COO-style construction ``pvector(I,V,rows)`` (:887-1008),
+constructors ``pfill/pzeros/pones/prand/prandn`` (:1050-1090), reductions
+(:1092-1142), broadcasting on own values (:1208-1277), ``dot``/``norm``
+(:1189-1206), out-of-place ``assemble``/``consistent`` (:1323-1398) and
+``repartition`` (:1401-1466).
+
+TPU-native design: the "array of parts" is ONE stacked, padded device array
+per field — ``own: dtype[P, n_own_pad]``, ``ghost: dtype[P, n_ghost_pad]``
+— sharded over the ``"parts"`` mesh axis on the mesh backend.  Padding
+lanes are kept at zero as an invariant so dot/norm/sum need no masking; ops
+that would break the invariant (scalar broadcast, fill) re-apply the mask.
+Communication is the frozen :class:`ExchangePlan` (edge-colored ppermute
+rounds); there is no runtime task model — ``consistent``/``assemble`` are
+pure functions whose overlap with compute is scheduled by XLA.
+
+A thin :class:`Task` wrapper keeps the reference's ``t = consistent!(v);
+wait(t)`` calling convention available for ported user code.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .backends import Backend, SerialBackend, stack_parts
+from .parallel.exchange_plan import VectorLayout
+from .parallel.p_range import PRange, find_owner, INT
+
+
+class Task:
+    """Parity shim for the reference's fake-async task model
+    (src/primitives.jl:122-141): holds an already-computed functional
+    result; ``wait()``/``fetch()`` return it."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def wait(self):
+        return self._value
+
+    def fetch(self):
+        return self._value
+
+
+def _layout_cache(pr: PRange) -> VectorLayout:
+    lay = getattr(pr, "_vector_layout", None)
+    if lay is None:
+        lay = VectorLayout(pr)
+        pr._vector_layout = lay
+    return lay
+
+
+@jax.tree_util.register_pytree_node_class
+class PVector:
+    """own: [P, n_own_pad]; ghost: [P, n_ghost_pad]; layout/backend static."""
+
+    def __init__(self, own, ghost, layout: VectorLayout, backend: Backend):
+        self.own = own
+        self.ghost = ghost
+        self.layout = layout
+        self.backend = backend
+
+    # -- pytree: children are values only ------------------------------
+    def tree_flatten(self):
+        return (self.own, self.ghost), (self.layout, self.backend)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        own, ghost = children
+        layout, backend = aux
+        obj = cls.__new__(cls)
+        obj.own, obj.ghost, obj.layout, obj.backend = own, ghost, layout, backend
+        return obj
+
+    # -- basic info ----------------------------------------------------
+    @property
+    def dtype(self):
+        return self.own.dtype
+
+    @property
+    def n_global(self) -> int:
+        return self.layout.pr.n_global
+
+    def __repr__(self):
+        return (
+            f"PVector(n_global={self.n_global}, P={self.layout.n_parts}, "
+            f"dtype={self.own.dtype})"
+        )
+
+    # -- per-part host views (setup/testing only) ----------------------
+    def own_values(self) -> List[np.ndarray]:
+        own = np.asarray(self.own)
+        return [own[p, : n] for p, n in enumerate(self.layout.n_own)]
+
+    def ghost_values(self) -> List[np.ndarray]:
+        gh = np.asarray(self.ghost)
+        return [gh[p, : n] for p, n in enumerate(self.layout.n_ghost)]
+
+    def local_values(self) -> List[np.ndarray]:
+        """Local (permuted own+ghost) values per part
+        (parity: local_values, src/p_vector.jl:361-391)."""
+        out = []
+        for p, li in enumerate(self.layout.pr.partition()):
+            cat = np.concatenate(
+                [
+                    np.asarray(self.own[p, : li.n_own]),
+                    np.asarray(self.ghost[p, : li.n_ghost]),
+                ]
+            )
+            out.append(cat if li.perm is None else cat[li.perm])
+        return out
+
+    # -- operators (own AND ghost; pads stay 0 for linear ops) ---------
+    def _binary(self, other, f):
+        if isinstance(other, PVector):
+            return PVector(
+                f(self.own, other.own),
+                f(self.ghost, other.ghost),
+                self.layout,
+                self.backend,
+            )
+        # scalar: affects entries, must re-mask pads
+        own = _apply_own_mask(f(self.own, other), self.layout)
+        ghost = _apply_ghost_mask(f(self.ghost, other), self.layout)
+        return PVector(own, ghost, self.layout, self.backend)
+
+    def __add__(self, o):
+        return self._binary(o, jnp.add)
+
+    def __sub__(self, o):
+        return self._binary(o, jnp.subtract)
+
+    def __mul__(self, o):
+        return self._binary(o, jnp.multiply)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, PVector):
+            lay = self.layout
+            mo = _own_mask(lay)
+            mg = _ghost_mask(lay)
+            return PVector(
+                jnp.where(mo, self.own / jnp.where(mo, o.own, 1), 0),
+                jnp.where(mg, self.ghost / jnp.where(mg, o.ghost, 1), 0),
+                lay,
+                self.backend,
+            )
+        return self._binary(o, jnp.divide)
+
+    def __neg__(self):
+        return PVector(-self.own, -self.ghost, self.layout, self.backend)
+
+    def copy(self):
+        return PVector(self.own, self.ghost, self.layout, self.backend)
+
+    def __eq__(self, other):
+        if not isinstance(other, PVector):
+            return NotImplemented
+        return bool(
+            jnp.array_equal(self.own, other.own)
+            and self.layout.pr is other.layout.pr
+        )
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def _own_mask(layout: VectorLayout):
+    m = getattr(layout, "_own_mask", None)
+    if m is None:
+        idx = np.arange(layout.n_own_pad)[None, :]
+        m = jnp.asarray(idx < layout.n_own[:, None])
+        layout._own_mask = m
+    return m
+
+
+def _ghost_mask(layout: VectorLayout):
+    m = getattr(layout, "_ghost_mask", None)
+    if m is None:
+        idx = np.arange(max(layout.n_ghost_pad, 1))[None, :]
+        m = jnp.asarray(idx < layout.n_ghost[:, None])[:, : layout.n_ghost_pad]
+        layout._ghost_mask = m
+    return m
+
+
+def _apply_own_mask(own, layout):
+    return jnp.where(_own_mask(layout), own, 0)
+
+
+def _apply_ghost_mask(ghost, layout):
+    if layout.n_ghost_pad == 0:
+        return ghost
+    return jnp.where(_ghost_mask(layout), ghost, 0)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def pvector_layout(pr: PRange) -> VectorLayout:
+    return _layout_cache(pr)
+
+
+def pfill(value, pr: PRange, backend: Backend, dtype=jnp.float32) -> PVector:
+    """Parity: pfill (src/p_vector.jl:1050)."""
+    lay = _layout_cache(pr)
+    own = jnp.full((lay.n_parts, lay.n_own_pad), value, dtype=dtype)
+    ghost = jnp.full((lay.n_parts, lay.n_ghost_pad), value, dtype=dtype)
+    v = PVector(own, ghost, lay, backend)
+    v.own = _apply_own_mask(v.own, lay)
+    v.ghost = _apply_ghost_mask(v.ghost, lay)
+    return backend_shard(v)
+
+
+def pzeros(pr: PRange, backend: Backend, dtype=jnp.float32) -> PVector:
+    return pfill(0, pr, backend, dtype)
+
+
+def pones(pr: PRange, backend: Backend, dtype=jnp.float32) -> PVector:
+    return pfill(1, pr, backend, dtype)
+
+
+def prand(key, pr: PRange, backend: Backend, dtype=jnp.float32) -> PVector:
+    """Parity: prand (src/p_vector.jl:1070). Uniform [0, 1)."""
+    lay = _layout_cache(pr)
+    own = jax.random.uniform(key, (lay.n_parts, lay.n_own_pad), dtype=dtype)
+    v = PVector(
+        _apply_own_mask(own, lay),
+        jnp.zeros((lay.n_parts, lay.n_ghost_pad), dtype=dtype),
+        lay,
+        backend,
+    )
+    return backend_shard(consistent(v).wait())
+
+
+def prandn(key, pr: PRange, backend: Backend, dtype=jnp.float32) -> PVector:
+    lay = _layout_cache(pr)
+    own = jax.random.normal(key, (lay.n_parts, lay.n_own_pad), dtype=dtype)
+    v = PVector(
+        _apply_own_mask(own, lay),
+        jnp.zeros((lay.n_parts, lay.n_ghost_pad), dtype=dtype),
+        lay,
+        backend,
+    )
+    return backend_shard(consistent(v).wait())
+
+
+def backend_shard(v: PVector) -> PVector:
+    own, ghost = v.backend.shard((v.own, v.ghost))
+    return PVector(own, ghost, v.layout, v.backend)
+
+
+def pvector_from_own(own_parts: Sequence[np.ndarray], pr: PRange, backend: Backend, dtype=None) -> PVector:
+    """Build from per-part OWN value arrays (host); ghosts start at zero."""
+    lay = _layout_cache(pr)
+    own = stack_parts([np.asarray(o) for o in own_parts], pad_to=lay.n_own_pad)
+    if dtype is not None:
+        own = own.astype(dtype)
+    ghost = np.zeros((lay.n_parts, lay.n_ghost_pad), dtype=own.dtype)
+    return backend_shard(PVector(jnp.asarray(own), jnp.asarray(ghost), lay, backend))
+
+
+def pvector_from_local(local_parts: Sequence[np.ndarray], pr: PRange, backend: Backend) -> PVector:
+    """Build from per-part LOCAL value arrays (own+ghost in local order)."""
+    lay = _layout_cache(pr)
+    owns, ghosts = [], []
+    for li, lv in zip(pr.partition(), local_parts):
+        lv = np.asarray(lv)
+        o2l = li.own_to_local()
+        g2l = li.ghost_to_local()
+        owns.append(lv[o2l])
+        ghosts.append(lv[g2l])
+    own = stack_parts(owns, pad_to=lay.n_own_pad)
+    ghost = (
+        stack_parts(ghosts, pad_to=lay.n_ghost_pad)
+        if lay.n_ghost_pad
+        else np.zeros((lay.n_parts, 0), dtype=own.dtype)
+    )
+    return backend_shard(PVector(jnp.asarray(own), jnp.asarray(ghost), lay, backend))
+
+
+def pvector(
+    I_parts: Sequence[np.ndarray],
+    V_parts: Sequence[np.ndarray],
+    rows: Sequence,
+    backend: Backend,
+    assemble_result: bool = True,
+    dtype=None,
+) -> PVector:
+    """COO-style construction from per-part (global id, value) contributions.
+
+    Ids may refer to rows owned by other parts ("disassembled" state); such
+    contributions are summed into ghost slots and then assembled to their
+    owners.  Parity: pvector(f,I,V,rows;...) (src/p_vector.jl:887-985).
+    """
+    from .parallel.p_range import PRange as _PR
+
+    pr = rows if isinstance(rows, _PR) else _PR(list(rows))
+    owners = find_owner(pr.partition(), I_parts)
+    new_parts = [
+        li.union_ghost(gids[own != li.part], own[own != li.part])
+        for li, gids, own in zip(pr.partition(), I_parts, owners)
+    ]
+    pr2 = _PR(new_parts)
+    lay = _layout_cache(pr2)
+    owns, ghosts = [], []
+    for li, gids, vals in zip(pr2.partition(), I_parts, V_parts):
+        vals = np.asarray(vals)
+        o = np.zeros(li.n_own, dtype=vals.dtype)
+        g = np.zeros(li.n_ghost, dtype=vals.dtype)
+        po = li.global_to_own(gids)
+        pg = li.global_to_ghost(gids)
+        mo = po >= 0
+        np.add.at(o, po[mo], vals[mo])
+        mg = pg >= 0
+        np.add.at(g, pg[mg], vals[mg])
+        owns.append(o)
+        ghosts.append(g)
+    own = stack_parts(owns, pad_to=lay.n_own_pad)
+    ghost = (
+        stack_parts(ghosts, pad_to=lay.n_ghost_pad)
+        if lay.n_ghost_pad
+        else np.zeros((lay.n_parts, 0), dtype=own.dtype)
+    )
+    if dtype is not None:
+        own, ghost = own.astype(dtype), ghost.astype(dtype)
+    v = backend_shard(PVector(jnp.asarray(own), jnp.asarray(ghost), lay, backend))
+    if assemble_result:
+        v = assemble(v).wait()
+    return v
+
+
+# ---------------------------------------------------------------------------
+# communication
+# ---------------------------------------------------------------------------
+
+def _consistent_vals(backend: Backend, plan, own, ghost):
+    f = backend.spmd(lambda o, g, pl: pl.apply(o, g, "set"))
+    return f(own, ghost, plan)
+
+
+def _assemble_vals(backend: Backend, plan, own, ghost):
+    f = backend.spmd(lambda o, g, pl: pl.apply(g, o, "add"))
+    return f(own, ghost, plan)
+
+
+def consistent(v: PVector) -> Task:
+    """Overwrite ghost values with their owners' values
+    (parity: consistent!, src/p_vector.jl:747-755).  Functional: returns a
+    Task whose result is the updated PVector."""
+    lay = v.layout
+    if lay.n_ghost_pad == 0 or lay.consistent_plan.n_rounds == 0:
+        return Task(v)
+    ghost = _consistent_vals(v.backend, lay.consistent_plan, v.own, v.ghost)
+    return Task(PVector(v.own, ghost, lay, v.backend))
+
+
+def assemble(v: PVector) -> Task:
+    """Add ghost contributions into their owners' own values and zero the
+    ghosts (parity: assemble!, src/p_vector.jl:695-708)."""
+    lay = v.layout
+    if lay.n_ghost_pad == 0 or lay.assemble_plan.n_rounds == 0:
+        return Task(v)
+    own = _assemble_vals(v.backend, lay.assemble_plan, v.own, v.ghost)
+    ghost = jnp.zeros_like(v.ghost)
+    return Task(PVector(own, ghost, lay, v.backend))
+
+
+# ---------------------------------------------------------------------------
+# reductions / linear algebra
+# ---------------------------------------------------------------------------
+
+def _psum_scalar(backend: Backend, per_part):
+    """per_part: per-part fn returning a scalar; result: replicated [P]."""
+    f = backend.spmd(lambda *a: jax.lax.psum(per_part(*a), "parts"))
+    return f
+
+
+def pdot(x: PVector, y: PVector):
+    """Global dot product over own values (parity: dot,
+    src/p_vector.jl:1189-1192).  Returns a scalar (0-d jnp array)."""
+    f = _psum_scalar(x.backend, lambda a, b: jnp.vdot(a, b))
+    return f(x.own, y.own)[0]
+
+
+def pnorm(x: PVector):
+    """2-norm (parity: norm, src/p_vector.jl:1201-1206)."""
+    return jnp.sqrt(pdot(x, x))
+
+
+def psum_reduce(x: PVector):
+    f = _psum_scalar(x.backend, lambda a: jnp.sum(a))
+    return f(x.own)[0]
+
+
+def pmaximum(x: PVector):
+    m = _own_mask(x.layout)
+    vals = jnp.where(m, x.own, -jnp.inf)
+    f = x.backend.spmd(lambda a: jax.lax.pmax(jnp.max(a), "parts"))
+    return f(vals)[0]
+
+
+def pminimum(x: PVector):
+    m = _own_mask(x.layout)
+    vals = jnp.where(m, x.own, jnp.inf)
+    f = x.backend.spmd(lambda a: jax.lax.pmin(jnp.min(a), "parts"))
+    return f(vals)[0]
+
+
+def pany(x: PVector, pred=lambda v: v != 0):
+    m = _own_mask(x.layout)
+    vals = jnp.where(m, pred(x.own), False)
+    f = x.backend.spmd(lambda a: jax.lax.pmax(jnp.max(a.astype(jnp.int32)), "parts"))
+    return f(vals)[0] > 0
+
+
+def pall(x: PVector, pred=lambda v: v != 0):
+    m = _own_mask(x.layout)
+    vals = jnp.where(m, pred(x.own), True)
+    f = x.backend.spmd(lambda a: jax.lax.pmin(jnp.min(a.astype(jnp.int32)), "parts"))
+    return f(vals)[0] > 0
+
+
+def axpy(a, x: PVector, y: PVector) -> PVector:
+    """y + a*x elementwise on own and ghost."""
+    return PVector(
+        y.own + a * x.own, y.ghost + a * x.ghost, y.layout, y.backend
+    )
+
+
+def collect(x: PVector) -> np.ndarray:
+    """Gather the full global vector to host in global order
+    (parity: collect, src/p_vector.jl:1128-1142)."""
+    out = np.zeros(x.n_global, dtype=np.asarray(x.own).dtype)
+    for li, vals in zip(x.layout.pr.partition(), x.own_values()):
+        out[li.own_to_global] = vals
+    return out
+
+
+def repartition(x: PVector, new_rows: PRange, backend: Optional[Backend] = None) -> PVector:
+    """Redistribute to a new row partition
+    (parity: repartition, src/p_vector.jl:1401-1466).  Host-side setup path:
+    values move through the global host vector; for the device-resident
+    fast path at fixed partitions, build a dedicated ExchangePlan instead."""
+    backend = backend or x.backend
+    g = collect(x)
+    parts = [g[li.own_to_global] for li in new_rows.partition()]
+    return pvector_from_own(parts, new_rows, backend)

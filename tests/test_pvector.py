@@ -1,0 +1,142 @@
+"""PVector tests, run on both the serial (vmap) and mesh (shard_map)
+backends — the analogue of the reference's shared test bodies executed under
+with_debug and with_mpi (reference: test/p_vector_tests.jl)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from partitionedarrays_tpu.parallel.p_range import PRange, uniform_partition
+from partitionedarrays_tpu.pvector import (
+    assemble,
+    axpy,
+    collect,
+    consistent,
+    pdot,
+    pfill,
+    pnorm,
+    pones,
+    pvector,
+    pvector_from_local,
+    pvector_from_own,
+    pany,
+    pall,
+    pmaximum,
+    pminimum,
+    psum_reduce,
+    pzeros,
+    repartition,
+)
+from partitionedarrays_tpu.parallel.p_range import variable_partition
+
+
+def make_pr(ghost=1, n=20, P=4):
+    return PRange(uniform_partition(P, n, ghost=ghost))
+
+
+def test_fill_and_reduce(backend4):
+    pr = make_pr()
+    x = pones(pr, backend4, dtype=jnp.float64)
+    assert float(psum_reduce(x)) == 20.0
+    assert float(pdot(x, x)) == 20.0
+    assert float(pnorm(x)) == pytest.approx(np.sqrt(20.0))
+    assert float(pmaximum(x)) == 1.0
+    assert float(pminimum(x)) == 1.0
+    assert bool(pall(x))
+    y = pzeros(pr, backend4, dtype=jnp.float64)
+    assert not bool(pany(y))
+
+
+def test_scalar_ops_keep_padding(backend4):
+    pr = PRange(uniform_partition(4, 18, ghost=1))  # ragged: pads exist
+    x = pones(pr, backend4, dtype=jnp.float64)
+    y = (x + 1.0) * 3.0 - x
+    # own values are 5, pads must remain 0 so the sum is exact
+    assert float(psum_reduce(y)) == pytest.approx(5.0 * 18)
+    assert float(pmaximum(-y)) == -5.0
+
+
+def test_consistent(backend4):
+    pr = make_pr()
+    # own value = its global id
+    own_parts = [li.own_to_global.astype(np.float64) for li in pr.partition()]
+    x = pvector_from_own(own_parts, pr, backend4)
+    x = consistent(x).wait()
+    for li, gv in zip(pr.partition(), x.ghost_values()):
+        assert np.array_equal(gv, li.ghost_to_global.astype(np.float64))
+
+
+def test_assemble_adds_and_zeroes(backend4):
+    pr = make_pr()
+    x = pzeros(pr, backend4, dtype=jnp.float64)
+    # put 1.0 in every ghost slot
+    gh = jnp.asarray(
+        np.stack(
+            [
+                (np.arange(x.layout.n_ghost_pad) < li.n_ghost).astype(np.float64)
+                for li in pr.partition()
+            ]
+        )
+    )
+    x.ghost = x.backend.shard(gh)
+    x = assemble(x).wait()
+    # each own index receives one contribution per part that ghosts it
+    expected = np.zeros(pr.n_global)
+    for li in pr.partition():
+        for g in li.ghost_to_global:
+            expected[g] += 1.0
+    assert np.allclose(collect(x), expected)
+    assert np.allclose(np.asarray(x.ghost), 0.0)
+
+
+def test_consistent_2d(backend4):
+    pr = PRange(uniform_partition((2, 2), (6, 6), ghost=1))
+    own_parts = [li.own_to_global.astype(np.float64) for li in pr.partition()]
+    x = pvector_from_own(own_parts, pr, backend4)
+    x = consistent(x).wait()
+    for li, gv in zip(pr.partition(), x.ghost_values()):
+        assert np.array_equal(gv, li.ghost_to_global.astype(np.float64))
+
+
+def test_pvector_coo_assembly(backend4):
+    # reproducible COO contributions incl. off-owner rows
+    pr = PRange(uniform_partition(4, 12))
+    rng = np.random.default_rng(0)
+    Is, Vs = [], []
+    expected = np.zeros(12)
+    for li in pr.partition():
+        ids = rng.integers(0, 12, size=15)
+        vals = rng.standard_normal(15)
+        Is.append(ids)
+        Vs.append(vals)
+        np.add.at(expected, ids, vals)
+    x = pvector(Is, Vs, pr, backend4)
+    assert np.allclose(collect(x), expected)
+
+
+def test_local_values_roundtrip(backend4):
+    pr = make_pr()
+    locs = [np.arange(li.n_local, dtype=np.float64) + li.part for li in pr.partition()]
+    x = pvector_from_local(locs, pr, backend4)
+    for a, b in zip(x.local_values(), locs):
+        assert np.array_equal(a, b)
+
+
+def test_axpy_and_arithmetic(backend4):
+    pr = make_pr()
+    x = pfill(2.0, pr, backend4, dtype=jnp.float64)
+    y = pones(pr, backend4, dtype=jnp.float64)
+    z = axpy(3.0, x, y)  # 1 + 3*2 = 7
+    assert np.allclose(collect(z), 7.0)
+    w = z - x  # 5
+    assert float(pdot(w, y)) == pytest.approx(5.0 * 20)
+    v = w / z
+    assert np.allclose(collect(v), 5.0 / 7.0)
+
+
+def test_repartition(backend4):
+    pr = make_pr(ghost=0)
+    own_parts = [li.own_to_global.astype(np.float64) for li in pr.partition()]
+    x = pvector_from_own(own_parts, pr, backend4)
+    pr2 = PRange(variable_partition([2, 8, 4, 6]))
+    y = repartition(x, pr2)
+    assert np.allclose(collect(y), np.arange(20, dtype=np.float64))
