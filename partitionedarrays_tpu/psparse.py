@@ -1,0 +1,720 @@
+"""PSparseMatrix: a row-partitioned distributed sparse matrix.
+
+Capability parity with the reference's PSparseMatrix
+(src/p_sparse_matrix.jl): split 4-block local storage (SplitMatrix,
+:582-668), the COO constructor ``psparse(I,J,V,rows,cols)`` with
+disassembled/subassembled/assembled states (:1150-1286), re-assembly at
+fixed sparsity ``psparse!`` (:1291-1305), ``assemble`` (:1564-1816) and
+``consistent`` (:1821-2040) state changes, latency-hiding SpMV ``mul!``
+(:2090-2162), ``dense_diag`` (:2166), ``sparse_diag_matrix`` (:2192),
+``spmm``/``spmtm``/``rap`` (:2212-2296), ``repartition`` (:2371),
+``centralize`` (:2463), ``psystem`` (:2475) and the LU fallback (:2561).
+
+TPU-native split of responsibilities:
+
+- **Setup on host** (this file, numpy/scipy): triplet shuffling to row
+  owners, ghost-column discovery, 4-block classification, CSR compression,
+  sparse products (spmm/rap) — all global-view, no runtime neighbor
+  discovery.
+- **Iteration on device**: each block frozen into padded ELL
+  (ops/ell.py); SpMV = ghost exchange (edge-colored ppermute rounds,
+  scheduled by XLA concurrently with the own_own block product — the
+  dataflow form of the reference's comm/compute overlap at
+  src/p_sparse_matrix.jl:2098-2101) + gather/multiply/reduce per block.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .backends import Backend
+from .ops.ell import ell_spmv, stack_ell
+from .ops.sparse_host import compresscoo, precompute_nzindex
+from .parallel.exchange_plan import VectorLayout
+from .parallel.p_range import (
+    INT,
+    LocalIndices,
+    PRange,
+    find_owner,
+)
+from .pvector import PVector, Task, _layout_cache, backend_shard, pzeros
+
+
+def as_prange(x) -> PRange:
+    return x if isinstance(x, PRange) else PRange(list(x))
+
+
+def _sorted_ghosts(gids: np.ndarray, owners: np.ndarray):
+    order = np.lexsort((gids, owners))
+    return gids[order], owners[order]
+
+
+# ---------------------------------------------------------------------------
+# device-resident data
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class DeviceSpMat:
+    """Stacked ELL arrays for the split blocks ([P, rows_pad, K] each)."""
+
+    def __init__(self, oo_cols, oo_vals, oh_cols, oh_vals, ho=None, hh=None):
+        self.oo_cols, self.oo_vals = oo_cols, oo_vals
+        self.oh_cols, self.oh_vals = oh_cols, oh_vals
+        self.ho = ho  # (cols, vals) or None
+        self.hh = hh
+
+    def tree_flatten(self):
+        return (
+            (self.oo_cols, self.oo_vals, self.oh_cols, self.oh_vals, self.ho, self.hh),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = cls.__new__(cls)
+        (obj.oo_cols, obj.oo_vals, obj.oh_cols, obj.oh_vals, obj.ho, obj.hh) = ch
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# the container
+# ---------------------------------------------------------------------------
+
+class PSparseMatrix:
+    """blocks[p] = dict with scipy CSR blocks 'oo','oh' (+'ho','hh' when
+    subassembled); row/col partitions carry the ghost structure."""
+
+    def __init__(
+        self,
+        blocks: List[dict],
+        row_prange: PRange,
+        col_prange: PRange,
+        backend: Backend,
+        assembled: bool,
+    ):
+        self.blocks = blocks
+        self.row_prange = row_prange
+        self.col_prange = col_prange
+        self.backend = backend
+        self.assembled = assembled
+        self._device: Optional[DeviceSpMat] = None
+        self._device_T = None
+
+    # -- info ----------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.row_prange.n_global, self.col_prange.n_global)
+
+    @property
+    def dtype(self):
+        return self.blocks[0]["oo"].dtype
+
+    def nnz(self) -> int:
+        tot = 0
+        for b in self.blocks:
+            for k in ("oo", "oh", "ho", "hh"):
+                if b.get(k) is not None:
+                    tot += b[k].nnz
+        return tot
+
+    def __repr__(self):
+        return (
+            f"PSparseMatrix({self.shape[0]}x{self.shape[1]}, P="
+            f"{self.row_prange.n_parts}, nnz={self.nnz()}, "
+            f"assembled={self.assembled})"
+        )
+
+    # parity accessors (own_own_values etc., src/p_sparse_matrix.jl:32-54)
+    def own_own_values(self) -> List[sp.csr_matrix]:
+        return [b["oo"] for b in self.blocks]
+
+    def own_ghost_values(self) -> List[sp.csr_matrix]:
+        return [b["oh"] for b in self.blocks]
+
+    def ghost_own_values(self) -> List[Optional[sp.csr_matrix]]:
+        return [b.get("ho") for b in self.blocks]
+
+    def ghost_ghost_values(self) -> List[Optional[sp.csr_matrix]]:
+        return [b.get("hh") for b in self.blocks]
+
+    # -- device freeze -------------------------------------------------
+    def row_layout(self) -> VectorLayout:
+        return _layout_cache(self.row_prange)
+
+    def col_layout(self) -> VectorLayout:
+        return _layout_cache(self.col_prange)
+
+    def device(self) -> DeviceSpMat:
+        if self._device is None:
+            rlay = self.row_layout()
+            no = rlay.n_own_pad
+            ooc, oov = stack_ell([b["oo"] for b in self.blocks], no)
+            ohc, ohv = stack_ell([b["oh"] for b in self.blocks], no)
+            ho = hh = None
+            if not self.assembled:
+                ng = max(rlay.n_ghost_pad, 1)
+                hoc, hov = stack_ell(
+                    [b["ho"] if b.get("ho") is not None else sp.csr_matrix((li.n_ghost, b["oo"].shape[1]), dtype=self.dtype)
+                     for b, li in zip(self.blocks, self.row_prange.partition())],
+                    ng,
+                )
+                hhc, hhv = stack_ell(
+                    [b["hh"] if b.get("hh") is not None else sp.csr_matrix((li.n_ghost, b["oh"].shape[1]), dtype=self.dtype)
+                     for b, li in zip(self.blocks, self.row_prange.partition())],
+                    ng,
+                )
+                ho = (jnp.asarray(hoc), jnp.asarray(hov))
+                hh = (jnp.asarray(hhc), jnp.asarray(hhv))
+            self._device = self.backend.shard(
+                DeviceSpMat(
+                    jnp.asarray(ooc),
+                    jnp.asarray(oov),
+                    jnp.asarray(ohc),
+                    jnp.asarray(ohv),
+                    ho,
+                    hh,
+                )
+            )
+        return self._device
+
+    def device_transpose(self):
+        """ELL of (own_own^T, own_ghost^T) for the transpose SpMV."""
+        if self._device_T is None:
+            clay = self.col_layout()
+            ooT_c, ooT_v = stack_ell(
+                [b["oo"].T.tocsr() for b in self.blocks], clay.n_own_pad
+            )
+            ohT_c, ohT_v = stack_ell(
+                [b["oh"].T.tocsr() for b in self.blocks], max(clay.n_ghost_pad, 1)
+            )
+            self._device_T = self.backend.shard(
+                (
+                    jnp.asarray(ooT_c),
+                    jnp.asarray(ooT_v),
+                    jnp.asarray(ohT_c),
+                    jnp.asarray(ohT_v),
+                )
+            )
+        return self._device_T
+
+    def invalidate_device(self):
+        self._device = None
+        self._device_T = None
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+def _build_part_blocks(
+    li_row: LocalIndices,
+    li_col: LocalIndices,
+    I: np.ndarray,
+    J: np.ndarray,
+    V: np.ndarray,
+    subassembled: bool,
+    dtype,
+):
+    """Classify local triplets (global ids) into split blocks.
+
+    Returns (blocks dict, row LocalIndices w/ ghosts, col LocalIndices w/
+    ghosts, classification info for the reuse cache).
+    """
+    I = np.asarray(I, dtype=INT)
+    J = np.asarray(J, dtype=INT)
+    V = np.asarray(V, dtype=dtype)
+
+    # --- rows
+    iro = li_row.global_to_own(I)
+    row_is_own = iro >= 0
+    if subassembled:
+        gI = I[~row_is_own]
+        if gI.size:
+            gids = np.unique(gI)
+            owners = li_row.global_to_owner(gids) if li_row.global_to_owner else None
+            if owners is None:
+                raise ValueError("subassembled psparse requires global_to_owner on rows")
+            gids, owners = _sorted_ghosts(gids, np.asarray(owners, dtype=INT))
+            li_row2 = li_row.union_ghost(gids, owners)
+        else:
+            li_row2 = li_row
+        irg = li_row2.global_to_ghost(I)
+    else:
+        assert row_is_own.all(), "assembled psparse: off-owner rows present"
+        li_row2 = li_row
+        irg = np.full(I.shape, -1, dtype=INT)
+
+    # --- cols
+    jco = li_col.global_to_own(J)
+    col_is_own = jco >= 0
+    gJ = J[~col_is_own]
+    ghost_j = np.unique(gJ) if gJ.size else np.zeros(0, dtype=INT)
+    # drop ids already ghosts of li_col
+    if ghost_j.size:
+        already = li_col.global_to_ghost(ghost_j) >= 0
+        new_j = ghost_j[~already]
+    else:
+        new_j = ghost_j
+    if new_j.size:
+        if li_col.global_to_owner is None:
+            raise ValueError("psparse requires global_to_owner on cols")
+        owners = np.asarray(li_col.global_to_owner(new_j), dtype=INT)
+        new_j, owners = _sorted_ghosts(new_j, owners)
+        li_col2 = li_col.union_ghost(new_j, owners)
+    else:
+        li_col2 = li_col
+    jcg = li_col2.global_to_ghost(J)
+
+    no_r, ng_r = li_row2.n_own, li_row2.n_ghost
+    no_c, ng_c = li_col2.n_own, li_col2.n_ghost
+
+    def coo_block(sel, ri, ci, m, n):
+        return compresscoo(ri[sel], ci[sel], V[sel], m, n)
+
+    m_oo = row_is_own & col_is_own
+    m_oh = row_is_own & ~col_is_own
+    blocks = {
+        "oo": coo_block(m_oo, iro, jco, no_r, no_c),
+        "oh": coo_block(m_oh, iro, jcg, no_r, ng_c),
+    }
+    if subassembled:
+        m_ho = ~row_is_own & col_is_own
+        m_hh = ~row_is_own & ~col_is_own
+        blocks["ho"] = coo_block(m_ho, irg, jco, ng_r, no_c)
+        blocks["hh"] = coo_block(m_hh, irg, jcg, ng_r, ng_c)
+    info = (iro, irg, jco, jcg, row_is_own, col_is_own)
+    return blocks, li_row2, li_col2, info
+
+
+def psparse(
+    I_parts: Sequence[np.ndarray],
+    J_parts: Sequence[np.ndarray],
+    V_parts: Sequence[np.ndarray],
+    rows,
+    cols,
+    backend: Backend,
+    assembled: bool = False,
+    assemble: bool = True,
+    reuse: bool = False,
+    dtype=None,
+):
+    """Main constructor (parity: psparse, src/p_sparse_matrix.jl:1150-1286).
+
+    Input states: disassembled (per-part COO with off-owner rows; default),
+    or ``assembled=True`` (all triplets already in own rows).  With
+    ``assemble=True`` the result is assembled (ghost-row contributions moved
+    to owners); with ``assemble=False`` it stays subassembled with
+    ghost_own/ghost_ghost blocks.  With ``reuse=True`` returns ``(A, cache)``
+    for ``psparse_refill``.
+    """
+    rows_pr = as_prange(rows)
+    cols_pr = as_prange(cols)
+    P = rows_pr.n_parts
+    dtype = dtype or np.asarray(V_parts[0]).dtype
+
+    if assembled or not assemble:
+        tri = [
+            (
+                np.asarray(I_parts[p], dtype=INT),
+                np.asarray(J_parts[p], dtype=INT),
+                np.asarray(V_parts[p], dtype=dtype),
+                np.full(len(np.asarray(I_parts[p])), p, dtype=INT),
+                np.arange(len(np.asarray(I_parts[p])), dtype=INT),
+            )
+            for p in range(P)
+        ]
+    else:
+        # shuffle triplets to their row owners (host all-to-all; parity:
+        # assemble_coo!, src/p_sparse_matrix.jl:213-289)
+        owners = find_owner(rows_pr.partition(), I_parts)
+        buckets = [[] for _ in range(P)]
+        for p in range(P):
+            I = np.asarray(I_parts[p], dtype=INT)
+            J = np.asarray(J_parts[p], dtype=INT)
+            V = np.asarray(V_parts[p], dtype=dtype)
+            o = owners[p]
+            idx = np.arange(I.size, dtype=INT)
+            for d in range(P):
+                m = o == d
+                if m.any():
+                    buckets[d].append((I[m], J[m], V[m], np.full(m.sum(), p, dtype=INT), idx[m]))
+        tri = []
+        for d in range(P):
+            if buckets[d]:
+                tri.append(tuple(np.concatenate([b[k] for b in buckets[d]]) for k in range(5)))
+            else:
+                z = np.zeros(0, dtype=INT)
+                tri.append((z, z, np.zeros(0, dtype=dtype), z, z))
+
+    subassembled = not (assembled or assemble)
+    new_rows, new_cols, all_blocks, infos = [], [], [], []
+    for p in range(P):
+        I, J, V, op_, oi_ = tri[p]
+        blocks, li_r, li_c, info = _build_part_blocks(
+            rows_pr[p], cols_pr[p], I, J, V, subassembled, dtype
+        )
+        all_blocks.append(blocks)
+        new_rows.append(li_r)
+        new_cols.append(li_c)
+        infos.append(info)
+
+    A = PSparseMatrix(
+        all_blocks,
+        PRange(new_rows) if subassembled else rows_pr,
+        PRange(new_cols),
+        backend,
+        assembled=not subassembled,
+    )
+    if not reuse:
+        return A
+    cache = _build_reuse_cache(A, tri, infos)
+    return A, cache
+
+
+def _build_reuse_cache(A: PSparseMatrix, tri, infos):
+    """Per original part: (dest_part, block id, data position) of each
+    original triplet (parity: the psparse! reuse cache,
+    src/p_sparse_matrix.jl:1291-1305)."""
+    order = ("oo", "oh", "ho", "hh")
+    P = len(tri)
+    n_orig = [0] * P
+    for p in range(P):
+        _, _, _, op_, oi_ = tri[p]
+        if op_.size:
+            for q in np.unique(op_):
+                n_orig[q] = max(n_orig[q], int(oi_[op_ == q].max()) + 1)
+    dest_part = [np.full(n, -1, dtype=INT) for n in n_orig]
+    dest_block = [np.full(n, -1, dtype=INT) for n in n_orig]
+    dest_pos = [np.full(n, -1, dtype=INT) for n in n_orig]
+    for p in range(P):
+        I, J, V, op_, oi_ = tri[p]
+        iro, irg, jco, jcg, rown, coln = infos[p]
+        for bi, name in enumerate(order):
+            blk = A.blocks[p].get(name)
+            if blk is None:
+                continue
+            if name == "oo":
+                sel = rown & coln
+                ri, ci = iro, jco
+            elif name == "oh":
+                sel = rown & ~coln
+                ri, ci = iro, jcg
+            elif name == "ho":
+                sel = ~rown & coln
+                ri, ci = irg, jco
+            else:
+                sel = ~rown & ~coln
+                ri, ci = irg, jcg
+            if not sel.any():
+                continue
+            pos = precompute_nzindex(blk, ri[sel], ci[sel])
+            opp = op_[sel]
+            oii = oi_[sel]
+            for t in range(pos.size):
+                dest_part[opp[t]][oii[t]] = p
+                dest_block[opp[t]][oii[t]] = bi
+                dest_pos[opp[t]][oii[t]] = pos[t]
+    return (dest_part, dest_block, dest_pos)
+
+
+def psparse_refill(A: PSparseMatrix, V_parts, cache) -> None:
+    """Refill values at fixed sparsity (parity: psparse!,
+    src/p_sparse_matrix.jl:1291-1305).  Host-side; invalidates the frozen
+    device arrays so the next ``device()`` re-freezes."""
+    order = ("oo", "oh", "ho", "hh")
+    dest_part, dest_block, dest_pos = cache
+    for b in A.blocks:
+        for name in order:
+            if b.get(name) is not None:
+                b[name].data[:] = 0
+    for q, V in enumerate(V_parts):
+        V = np.asarray(V)
+        dp, db, dx = dest_part[q], dest_block[q], dest_pos[q]
+        for p in np.unique(dp[dp >= 0]):
+            for bi in range(4):
+                m = (dp == p) & (db == bi) & (dx >= 0)
+                if m.any():
+                    np.add.at(A.blocks[p][order[bi]].data, dx[m], V[m])
+    A.invalidate_device()
+
+
+def psparse_from_blocks(
+    blocks: List[dict], rows: PRange, cols: PRange, backend: Backend, assembled=True
+) -> PSparseMatrix:
+    """Parity: psparse_from_split_blocks (src/p_sparse_matrix.jl:1307-1332)."""
+    return PSparseMatrix(blocks, as_prange(rows), as_prange(cols), backend, assembled)
+
+
+# ---------------------------------------------------------------------------
+# host global view (setup-time ops)
+# ---------------------------------------------------------------------------
+
+def to_global_scipy(A: PSparseMatrix) -> sp.csr_matrix:
+    """Sum all per-part blocks into one global CSR (host)."""
+    m, n = A.shape
+    Is, Js, Vs = [], [], []
+    for b, li_r, li_c in zip(A.blocks, A.row_prange.partition(), A.col_prange.partition()):
+        maps = {
+            "oo": (li_r.own_to_global, li_c.own_to_global),
+            "oh": (li_r.own_to_global, li_c.ghost_to_global),
+            "ho": (li_r.ghost_to_global, li_c.own_to_global),
+            "hh": (li_r.ghost_to_global, li_c.ghost_to_global),
+        }
+        for name, (rm, cm) in maps.items():
+            blk = b.get(name)
+            if blk is None or blk.nnz == 0:
+                continue
+            coo = blk.tocoo()
+            Is.append(rm[coo.row])
+            Js.append(cm[coo.col])
+            Vs.append(coo.data)
+    if not Is:
+        return sp.csr_matrix((m, n), dtype=A.dtype)
+    G = sp.coo_matrix(
+        (np.concatenate(Vs), (np.concatenate(Is), np.concatenate(Js))), shape=(m, n)
+    )
+    G.sum_duplicates()
+    G = G.tocsr()
+    G.sort_indices()
+    return G
+
+
+def psparse_from_global(
+    G: sp.spmatrix, rows, cols, backend: Backend
+) -> PSparseMatrix:
+    """Split a global host matrix into an assembled PSparseMatrix."""
+    rows_pr = as_prange(rows)
+    cols_pr = as_prange(cols)
+    G = G.tocsr()
+    I_parts, J_parts, V_parts = [], [], []
+    for li in rows_pr.partition():
+        sub = G[li.own_to_global]
+        coo = sub.tocoo()
+        I_parts.append(li.own_to_global[coo.row])
+        J_parts.append(coo.col.astype(INT))
+        V_parts.append(coo.data)
+    return psparse(
+        I_parts, J_parts, V_parts, rows_pr, cols_pr, backend, assembled=True
+    )
+
+
+def centralize(A: PSparseMatrix) -> sp.csr_matrix:
+    """Parity: centralize (src/p_sparse_matrix.jl:2463-2470)."""
+    return to_global_scipy(A)
+
+
+def assemble_matrix(A: PSparseMatrix) -> Task:
+    """Subassembled -> assembled (parity: assemble,
+    src/p_sparse_matrix.jl:1564-1756)."""
+    if A.assembled:
+        return Task(A)
+    rows_own = PRange([li.remove_ghost() for li in A.row_prange.partition()])
+    cols_own = PRange([li.remove_ghost() for li in A.col_prange.partition()])
+    G = to_global_scipy(A)
+    return Task(psparse_from_global(G, rows_own, cols_own, A.backend))
+
+
+def consistent_matrix(A: PSparseMatrix, rows_co: PRange) -> Task:
+    """Assembled -> overlapped: fetch the rows a part ghosts
+    (parity: consistent, src/p_sparse_matrix.jl:1821-2040).  ``rows_co`` is
+    a row partition with the wanted ghost rows."""
+    assert A.assembled
+    G = to_global_scipy(A).tocsr()
+    cols_pr = A.col_prange
+    P = rows_co.n_parts
+    blocks, new_rows, new_cols = [], [], []
+    for li_r, li_c in zip(rows_co.partition(), cols_pr.partition()):
+        rows_l = np.concatenate([li_r.own_to_global, li_r.ghost_to_global])
+        sub = G[rows_l].tocoo()
+        I = rows_l[sub.row]
+        b, li_r2, li_c2, _ = _build_part_blocks(
+            li_r, li_c.remove_ghost(), I, sub.col.astype(INT), sub.data, True, A.dtype
+        )
+        blocks.append(b)
+        new_rows.append(li_r2)
+        new_cols.append(li_c2)
+    return Task(
+        PSparseMatrix(blocks, PRange(new_rows), PRange(new_cols), A.backend, False)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SpMV (the hot path)
+# ---------------------------------------------------------------------------
+
+def spmv(A: PSparseMatrix, x: PVector, alpha=1.0) -> PVector:
+    """y = alpha * A @ x (parity: mul!, src/p_sparse_matrix.jl:2090-2142).
+
+    x must be partitioned by ``A.col_prange``.  The ghost exchange and the
+    own_own block product are data-independent, so XLA overlaps them (the
+    compiled analogue of the reference's latency hiding)."""
+    dev = A.device()
+    clay = x.layout
+    rlay = A.row_layout()
+    backend = A.backend
+    has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
+
+    if A.assembled:
+        if has_cg:
+            def f(xo, xg, cplan, ooc, oov, ohc, ohv):
+                g = cplan.apply(xo, xg, "set")
+                return ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, g)
+
+            y_own = backend.spmd(f)(
+                x.own, x.ghost, clay.consistent_plan,
+                dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
+            )
+        else:
+            def f(xo, ooc, oov):
+                return ell_spmv(ooc, oov, xo)
+
+            y_own = backend.spmd(f)(x.own, dev.oo_cols, dev.oo_vals)
+        y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
+    else:
+        hoc, hov = dev.ho
+        hhc, hhv = dev.hh
+
+        def f(xo, xg, cplan, rplan, ooc, oov, ohc, ohv, hoc, hov, hhc, hhv):
+            g = cplan.apply(xo, xg, "set") if has_cg else xg
+            yo = ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, g)
+            yg = ell_spmv(hoc, hov, xo) + ell_spmv(hhc, hhv, g)
+            yo = rplan.apply(yg, yo, "add")
+            return yo
+
+        y_own = backend.spmd(f)(
+            x.own, x.ghost, clay.consistent_plan, rlay.assemble_plan,
+            dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
+            hoc, hov, hhc, hhv,
+        )
+        y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
+    if alpha != 1.0:
+        y_own = alpha * y_own
+    return PVector(y_own, y_ghost, rlay, backend)
+
+
+def spmtv(A: PSparseMatrix, x: PVector) -> PVector:
+    """y = A.T @ x (parity: transpose mul!, src/p_sparse_matrix.jl:2144-2162).
+    Result is partitioned by ``A.col_prange``; ghost-column contributions are
+    assembled back to their owners (reversed communication pattern)."""
+    assert A.assembled, "spmtv implemented for assembled matrices"
+    ooT_c, ooT_v, ohT_c, ohT_v = A.device_transpose()
+    clay = A.col_layout()
+    backend = A.backend
+    has_cg = clay.n_ghost_pad > 0 and clay.assemble_plan.n_rounds > 0
+
+    if has_cg:
+        def f(xo, aplan, ooc, oov, ohc, ohv):
+            yo = ell_spmv(ooc, oov, xo)
+            yg = ell_spmv(ohc, ohv, xo)
+            yo = aplan.apply(yg, yo, "add")
+            return yo
+
+        y_own = backend.spmd(f)(
+            x.own, clay.assemble_plan, ooT_c, ooT_v, ohT_c, ohT_v
+        )
+    else:
+        def f(xo, ooc, oov):
+            return ell_spmv(ooc, oov, xo)
+
+        y_own = backend.spmd(f)(x.own, ooT_c, ooT_v)
+    y_ghost = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=y_own.dtype)
+    return PVector(y_own, y_ghost, clay, backend)
+
+
+# ---------------------------------------------------------------------------
+# derived operators (host/setup)
+# ---------------------------------------------------------------------------
+
+def dense_diag(A: PSparseMatrix) -> PVector:
+    """Diagonal as a PVector on the row partition
+    (parity: dense_diag, src/p_sparse_matrix.jl:2166-2188)."""
+    from .pvector import pvector_from_own
+
+    parts = []
+    for b, li_r, li_c in zip(A.blocks, A.row_prange.partition(), A.col_prange.partition()):
+        # diagonal lives in own_own where global row id == global col id
+        oo = b["oo"].tocsr()
+        d = np.zeros(li_r.n_own, dtype=A.dtype)
+        gcols = li_c.own_to_global
+        growz = li_r.own_to_global
+        coo = oo.tocoo()
+        m = gcols[coo.col] == growz[coo.row]
+        d[coo.row[m]] = coo.data[m]
+        parts.append(d)
+    return pvector_from_own(parts, A.row_prange, A.backend)
+
+
+def sparse_diag_matrix(v: PVector, rows: Optional[PRange] = None) -> PSparseMatrix:
+    """Diagonal matrix from a PVector (parity: sparse_diag_matrix,
+    src/p_sparse_matrix.jl:2192-2210)."""
+    pr = rows or v.layout.pr
+    own_only = PRange([li.remove_ghost() for li in pr.partition()])
+    I_parts = [li.own_to_global for li in own_only.partition()]
+    V_parts = v.own_values()
+    return psparse(
+        I_parts, I_parts, V_parts, own_only, own_only, v.backend, assembled=True
+    )
+
+
+def spmm(A: PSparseMatrix, B: PSparseMatrix) -> PSparseMatrix:
+    """C = A @ B (parity: spmm, src/p_sparse_matrix.jl:2227-2261).
+    Host/setup-time path via the global view."""
+    G = to_global_scipy(A) @ to_global_scipy(B)
+    rows = A.row_prange
+    cols = PRange([li.remove_ghost() for li in B.col_prange.partition()])
+    return psparse_from_global(G, rows, cols, A.backend)
+
+
+def spmtm(A: PSparseMatrix, B: PSparseMatrix) -> PSparseMatrix:
+    """C = A.T @ B (parity: spmtm, src/p_sparse_matrix.jl:2263-2296)."""
+    G = to_global_scipy(A).T @ to_global_scipy(B)
+    rows = PRange([li.remove_ghost() for li in A.col_prange.partition()])
+    cols = PRange([li.remove_ghost() for li in B.col_prange.partition()])
+    return psparse_from_global(G.tocsr(), rows, cols, A.backend)
+
+
+def rap(R: PSparseMatrix, A: PSparseMatrix, Pm: PSparseMatrix) -> PSparseMatrix:
+    """Galerkin triple product R @ A @ P (parity: rap,
+    src/p_sparse_matrix.jl:2212-2225)."""
+    G = to_global_scipy(R) @ to_global_scipy(A) @ to_global_scipy(Pm)
+    rows = R.row_prange
+    cols = PRange([li.remove_ghost() for li in Pm.col_prange.partition()])
+    return psparse_from_global(G.tocsr(), rows, cols, R.backend)
+
+
+def transpose_psparse(A: PSparseMatrix) -> PSparseMatrix:
+    G = to_global_scipy(A).T.tocsr()
+    rows = PRange([li.remove_ghost() for li in A.col_prange.partition()])
+    cols = PRange([li.remove_ghost() for li in A.row_prange.partition()])
+    return psparse_from_global(G, rows, cols, A.backend)
+
+
+def identity_minus(A: PSparseMatrix) -> PSparseMatrix:
+    """I - A (parity: src/p_sparse_matrix.jl:2309-2315)."""
+    G = sp.identity(A.shape[0], dtype=A.dtype, format="csr") - to_global_scipy(A)
+    cols = PRange([li.remove_ghost() for li in A.col_prange.partition()])
+    return psparse_from_global(G.tocsr(), A.row_prange, cols, A.backend)
+
+
+def repartition_matrix(
+    A: PSparseMatrix, new_rows, new_cols, backend: Optional[Backend] = None
+) -> PSparseMatrix:
+    """Parity: repartition (src/p_sparse_matrix.jl:2371-2461)."""
+    G = to_global_scipy(A)
+    return psparse_from_global(G, as_prange(new_rows), as_prange(new_cols), backend or A.backend)
+
+
+def psystem(
+    I_parts, J_parts, V_parts, Ib_parts, Vb_parts, rows, cols, backend: Backend
+):
+    """Matrix + rhs together (parity: psystem, src/p_sparse_matrix.jl:2475).
+    Returns (A, b) with b partitioned by A's rows."""
+    from .pvector import pvector
+
+    A = psparse(I_parts, J_parts, V_parts, rows, cols, backend)
+    b = pvector(Ib_parts, Vb_parts, A.row_prange, backend)
+    return A, b

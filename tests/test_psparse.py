@@ -1,0 +1,217 @@
+"""PSparseMatrix tests vs scipy ground truth, on both backends
+(reference analogue: test/p_sparse_matrix_tests.jl)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from partitionedarrays_tpu.parallel.p_range import PRange, uniform_partition, variable_partition
+from partitionedarrays_tpu.psparse import (
+    assemble_matrix,
+    centralize,
+    dense_diag,
+    identity_minus,
+    psparse,
+    psparse_refill,
+    psystem,
+    rap,
+    repartition_matrix,
+    sparse_diag_matrix,
+    spmm,
+    spmtm,
+    spmv,
+    spmtv,
+    to_global_scipy,
+    transpose_psparse,
+)
+from partitionedarrays_tpu.pvector import collect, pvector_from_own, pones
+
+
+def laplacian_coo_parts(pr, n):
+    """1-D Laplacian built per part over OWN rows (assembled input)."""
+    Is, Js, Vs = [], [], []
+    for li in pr.partition():
+        I, J, V = [], [], []
+        for g in li.own_to_global:
+            I.append(g); J.append(g); V.append(2.0)
+            if g > 0:
+                I.append(g); J.append(g - 1); V.append(-1.0)
+            if g < n - 1:
+                I.append(g); J.append(g + 1); V.append(-1.0)
+        Is.append(np.array(I)); Js.append(np.array(J)); Vs.append(np.array(V, dtype=np.float64))
+    return Is, Js, Vs
+
+
+def global_laplacian(n):
+    return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+
+
+def rand_x(pr, backend, n, seed=3):
+    rng = np.random.default_rng(seed)
+    xg = rng.standard_normal(n)
+    return xg, None
+
+
+def test_psparse_assembled_matches_scipy(backend4):
+    n = 24
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    G = to_global_scipy(A)
+    assert (abs(G - global_laplacian(n))).max() < 1e-14
+    assert A.assembled
+
+
+def test_spmv_matches_scipy(backend4):
+    n = 24
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    rng = np.random.default_rng(0)
+    xg = rng.standard_normal(n)
+    xparts = [xg[li.own_to_global] for li in A.col_prange.partition()]
+    x = pvector_from_own(xparts, A.col_prange, backend4, dtype=np.float64)
+    y = spmv(A, x)
+    assert np.allclose(collect(y), global_laplacian(n) @ xg)
+
+
+def test_spmv_disassembled_coo(backend4):
+    """FEM-style construction: each part contributes to off-owner rows."""
+    n = 16
+    pr = PRange(uniform_partition(4, n))
+    rng = np.random.default_rng(1)
+    Gdense = np.zeros((n, n))
+    Is, Js, Vs = [], [], []
+    for li in pr.partition():
+        I = rng.integers(0, n, 30)
+        J = rng.integers(0, n, 30)
+        V = rng.standard_normal(30)
+        for i, j, v in zip(I, J, V):
+            Gdense[i, j] += v
+        Is.append(I); Js.append(J); Vs.append(V)
+    A = psparse(Is, Js, Vs, pr, pr, backend4)
+    assert np.allclose(to_global_scipy(A).toarray(), Gdense)
+    xg = rng.standard_normal(n)
+    xparts = [xg[li.own_to_global] for li in A.col_prange.partition()]
+    x = pvector_from_own(xparts, A.col_prange, backend4, dtype=np.float64)
+    y = spmv(A, x)
+    assert np.allclose(collect(y), Gdense @ xg)
+
+
+def test_subassembled_then_assemble(backend4):
+    n = 16
+    pr = PRange(uniform_partition(4, n))
+    rng = np.random.default_rng(2)
+    Gdense = np.zeros((n, n))
+    Is, Js, Vs = [], [], []
+    for li in pr.partition():
+        I = rng.integers(0, n, 20)
+        J = rng.integers(0, n, 20)
+        V = rng.standard_normal(20)
+        for i, j, v in zip(I, J, V):
+            Gdense[i, j] += v
+        Is.append(I); Js.append(J); Vs.append(V)
+    B = psparse(Is, Js, Vs, pr, pr, backend4, assemble=False)
+    assert not B.assembled
+    assert np.allclose(to_global_scipy(B).toarray(), Gdense)
+    # subassembled SpMV assembles the result on the fly
+    xg = rng.standard_normal(n)
+    xparts = [xg[li.own_to_global] for li in B.col_prange.partition()]
+    x = pvector_from_own(xparts, B.col_prange, backend4, dtype=np.float64)
+    y = spmv(B, x)
+    assert np.allclose(collect(y), Gdense @ xg)
+    # explicit assemble matches too
+    A = assemble_matrix(B).wait()
+    assert A.assembled
+    assert np.allclose(to_global_scipy(A).toarray(), Gdense)
+
+
+def test_spmtv(backend4):
+    n = 20
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    # make it non-symmetric
+    Vs = [v * (1 + 0.1 * np.arange(len(v))) for v in Vs]
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    G = to_global_scipy(A)
+    rng = np.random.default_rng(4)
+    xg = rng.standard_normal(n)
+    xparts = [xg[li.own_to_global] for li in A.row_prange.partition()]
+    x = pvector_from_own(xparts, A.row_prange, backend4, dtype=np.float64)
+    y = spmtv(A, x)
+    assert np.allclose(collect(y), G.T @ xg)
+
+
+def test_refill(backend4):
+    n = 16
+    pr = PRange(uniform_partition(4, n))
+    rng = np.random.default_rng(5)
+    Is, Js, Vs = [], [], []
+    for li in pr.partition():
+        Is.append(rng.integers(0, n, 25))
+        Js.append(rng.integers(0, n, 25))
+        Vs.append(rng.standard_normal(25))
+    A, cache = psparse(Is, Js, Vs, pr, pr, backend4, reuse=True)
+    G1 = to_global_scipy(A).toarray()
+    Vs2 = [2.0 * v for v in Vs]
+    psparse_refill(A, Vs2, cache)
+    G2 = to_global_scipy(A).toarray()
+    assert np.allclose(G2, 2.0 * G1)
+
+
+def test_diag_and_diag_matrix(backend4):
+    n = 20
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    d = dense_diag(A)
+    assert np.allclose(collect(d), 2.0)
+    D = sparse_diag_matrix(d)
+    assert np.allclose(to_global_scipy(D).toarray(), 2 * np.eye(n))
+
+
+def test_spmm_spmtm_rap(backend4):
+    n = 12
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    G = to_global_scipy(A)
+    C = spmm(A, A)
+    assert np.allclose(to_global_scipy(C).toarray(), (G @ G).toarray())
+    Ct = spmtm(A, A)
+    assert np.allclose(to_global_scipy(Ct).toarray(), (G.T @ G).toarray())
+    # rectangular P: aggregate pairs
+    coarse = PRange(uniform_partition(4, n // 2))
+    Ip = [np.arange(n)[li_f.own_to_global] for li_f in pr.partition()]
+    Jp = [g // 2 for g in Ip]
+    Vp = [np.ones(len(g)) for g in Ip]
+    P = psparse(Ip, Jp, Vp, pr, coarse, backend4, assembled=True)
+    R = transpose_psparse(P)
+    Ac = rap(R, A, P)
+    Gp = to_global_scipy(P)
+    assert np.allclose(to_global_scipy(Ac).toarray(), (Gp.T @ G @ Gp).toarray())
+
+
+def test_identity_minus_and_repartition(backend4):
+    n = 12
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    B = identity_minus(A)
+    assert np.allclose(
+        to_global_scipy(B).toarray(), np.eye(n) - global_laplacian(n).toarray()
+    )
+    pr2 = PRange(variable_partition([1, 5, 3, 3]))
+    C = repartition_matrix(A, pr2, pr2)
+    assert np.allclose(to_global_scipy(C).toarray(), global_laplacian(n).toarray())
+    assert centralize(C).shape == (n, n)
+
+
+def test_psystem(backend4):
+    n = 12
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    Ib = [li.own_to_global for li in pr.partition()]
+    Vb = [np.ones(li.n_own) for li in pr.partition()]
+    A, b = psystem(Is, Js, Vs, Ib, Vb, pr, pr, backend4)
+    assert np.allclose(collect(b), 1.0)
+    assert A.shape == (n, n)
