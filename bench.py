@@ -1,0 +1,129 @@
+"""Benchmark driver: HPCG 27-point SpMV sustained memory bandwidth.
+
+SpMV is the hot kernel of every workload the reference targets (CG, MG,
+the HPCG rating — see HPCG/src/report_results.jl byte model).  We report
+the effective HBM bandwidth of the compiled SpMV and, as ``vs_baseline``,
+the fraction of the chip's *measured* STREAM-like copy bandwidth (the
+"speed-of-light" roofline from BASELINE.md — target >= 0.8).
+
+Measurement methodology: the remote-device tunnel has a large fixed
+round-trip latency and an unreliable async fence, so each measurement runs
+a data-dependent ``fori_loop`` chain of K iterations inside ONE compiled
+program, fetches a scalar tail, and takes the slope between two chain
+lengths — fixed latency cancels exactly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed_fetch(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    np.asarray(out)  # forces a real device->host fetch (fences execution)
+    return time.perf_counter() - t0
+
+
+def slope_time_per_iter(make_loop, args, k_small=8, k_big=72, repeats=3):
+    """Seconds per loop iteration via two-point slope (latency-free)."""
+    f_small = make_loop(k_small)
+    f_big = make_loop(k_big)
+    _timed_fetch(f_small, *args)  # compile
+    _timed_fetch(f_big, *args)
+    best = float("inf")
+    for _ in range(repeats):
+        ts = _timed_fetch(f_small, *args)
+        tb = _timed_fetch(f_big, *args)
+        best = min(best, (tb - ts) / (k_big - k_small))
+    return best
+
+
+def stream_bandwidth_gbs() -> float:
+    """Measured device copy bandwidth (the roofline denominator)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024  # 256 MB f32
+    x = jnp.arange(n, dtype=jnp.float32) * 1e-7
+
+    def make_loop(k):
+        @jax.jit
+        def run(x):
+            y = jax.lax.fori_loop(0, k, lambda i, v: v * 1.0000001, x)
+            return jnp.sum(y[:8])
+
+        return run
+
+    dt = slope_time_per_iter(make_loop, (x,))
+    return 2 * n * 4 / dt / 1e9  # read + write per iteration
+
+
+def spmv_bench():
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.backends import SerialBackend
+    from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
+    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.pvector import PVector
+
+    backend = SerialBackend(1)
+    local = (128, 128, 128)
+    A, b = build_hpcg_problem(local, (1, 1, 1), backend, dtype=np.float32)
+    rlay = A.row_layout()
+    dev = A.device()  # freeze ELL
+    nnz = A.nnz()
+    nrows = A.shape[0]
+
+    def make_loop(k):
+        @jax.jit
+        def run(A, own):
+            def body(i, own):
+                x = PVector(
+                    own, jnp.zeros((1, rlay.n_ghost_pad), jnp.float32), rlay, backend
+                )
+                y = spmv(A, x)
+                return y.own * (1.0 / 52.0)  # keep magnitude bounded
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt = slope_time_per_iter(make_loop, (A, b.own), k_small=4, k_big=36)
+    # bytes per SpMV: all frozen block storage (DIA diagonals / ELL
+    # lanes+cols) + x read (~nrows*4 streamed) + y write (nrows*4)
+    bytes_moved = dev.nbytes() + nrows * 8
+    gbs = bytes_moved / dt / 1e9
+    return gbs, nnz / dt, dt, nrows, nnz
+
+
+def main():
+    import jax
+
+    stream = stream_bandwidth_gbs()
+    gbs, nnz_s, dt, nrows, nnz = spmv_bench()
+    result = {
+        "metric": "hpcg27_spmv_bandwidth",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / stream, 4),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "stream_gbs": round(stream, 2),
+            "spmv_ms": round(dt * 1e3, 4),
+            "gnnz_per_s": round(nnz_s / 1e9, 3),
+            "nrows": nrows,
+            "nnz": nnz,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

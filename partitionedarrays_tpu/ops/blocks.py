@@ -1,0 +1,91 @@
+"""Per-block device storage with automatic format selection.
+
+Each split block (own_own, own_ghost, ...) of a PSparseMatrix freezes into
+a :class:`DeviceBlock`: DIA (shifted dense diagonals — speed-of-light
+stencil path, ops/dia.py) when the block is banded in local indices, else
+padded ELL (gather path, ops/ell.py).  The choice is static per block and
+baked into the compiled program.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .dia import dia_spmv, dia_viable, stack_dia
+from .ell import ell_spmv, stack_ell
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceBlock:
+    """kind: "dia" (vals [P, n_off, R]) or "ell" (cols+vals [P, R, K])."""
+
+    def __init__(self, kind, offsets, n_cols_pad, cols, vals):
+        self.kind = kind
+        self.offsets = offsets  # static tuple (dia) or None
+        self.n_cols_pad = n_cols_pad
+        self.cols = cols  # None for dia
+        self.vals = vals
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.kind, self.offsets, self.n_cols_pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, offsets, n_cols_pad = aux
+        cols, vals = children
+        return cls(kind, offsets, n_cols_pad, cols, vals)
+
+    # per-part SPMD spmv: x is the per-part padded column vector
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "dia":
+            from .. import config
+            from .spmv_pallas import dia_spmv_pallas, dia_spmv_pallas_viable
+
+            R = self.vals.shape[-1]
+            if config.pallas_enabled() and dia_spmv_pallas_viable(
+                self.offsets, R, self.n_cols_pad, self.vals.dtype.itemsize
+            ):
+                return dia_spmv_pallas(self.offsets, self.vals, x, self.n_cols_pad)
+            return dia_spmv(self.offsets, self.vals, x, self.n_cols_pad)
+        return ell_spmv(self.cols, self.vals, x)
+
+    def nbytes(self) -> int:
+        n = int(np.prod(self.vals.shape)) * self.vals.dtype.itemsize
+        if self.cols is not None:
+            n += int(np.prod(self.cols.shape)) * 4
+        return n
+
+
+def freeze_block(
+    blocks: Sequence[sp.spmatrix],
+    n_rows_pad: int,
+    n_cols_pad: int,
+    prefer_dia: bool = True,
+    max_diags: int = 48,
+) -> DeviceBlock:
+    """Choose DIA when every part block is banded with a small common
+    diagonal set AND the dense-diagonal storage does not exceed the ELL
+    footprint; else ELL."""
+    csrs = [b.tocsr() for b in blocks]
+    if prefer_dia:
+        offsets = dia_viable(csrs, max_diags=max_diags)
+        if offsets is not None and offsets.size:
+            kmax = max(
+                (int(np.diff(b.indptr).max()) if b.nnz else 0) for b in csrs
+            )
+            # DIA stores n_off*R values; ELL stores K*R values + K*R int32
+            if offsets.size <= max(2 * kmax, 4):
+                vals = stack_dia(csrs, n_rows_pad, offsets)
+                return DeviceBlock(
+                    "dia",
+                    tuple(int(o) for o in offsets),
+                    n_cols_pad,
+                    None,
+                    jnp.asarray(vals),
+                )
+    cols, vals = stack_ell(csrs, n_rows_pad)
+    return DeviceBlock("ell", None, n_cols_pad, jnp.asarray(cols), jnp.asarray(vals))

@@ -1,0 +1,93 @@
+"""Pallas TPU kernel for the DIA (stencil) SpMV.
+
+The XLA fallback (ops/dia.py) emits one shifted multiply-add per diagonal;
+XLA streams the x vector again for every tap, so the achieved bandwidth is
+roughly half of roofline.  This kernel keeps the whole (padded) x vector
+resident in VMEM and walks the row tiles once, applying all taps per tile —
+x is read from HBM once, the diagonal values once, y written once: the
+mandatory traffic only.
+
+Grid: 1-D over row tiles.  vals[n_off, R] is tiled (n_off, T) per step; x
+stays un-tiled in VMEM (supported up to ~12 MB, i.e. ~3M f32 rows per
+part — above that the caller falls back to the XLA path).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-part x buffers larger than this stay on the XLA path
+MAX_X_VMEM_BYTES = 12 * 1024 * 1024
+MIN_ROWS_FOR_PALLAS = 4096
+
+
+# Mosaic vector loads must start at a multiple of the native 1-D tile
+ALIGN = 1024
+
+
+def _pick_tile(R: int) -> int:
+    for t in (16384, 8192, 4096, 2048, 1024):
+        if R % t == 0:
+            return t
+    return 0
+
+
+def _dia_kernel(offsets: Tuple[int, ...], lo: int, T: int, vals_ref, x_ref, y_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(i * T, T)
+    acc = None
+    for d in range(len(offsets)):
+        off = offsets[d] - lo  # static, >= 0
+        q, r = divmod(off, ALIGN)
+        # aligned window load, then static in-register shift by the residue
+        W = x_ref[pl.ds(base + q * ALIGN, T + ALIGN)]
+        seg = jax.lax.slice(W, (r,), (r + T,))
+        term = vals_ref[d, :] * seg
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "lo", "span", "R", "n_cols_pad")
+)
+def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
+    xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
+    xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
+    T = _pick_tile(R)
+    n_off = vals.shape[0]
+    kernel = functools.partial(_dia_kernel, offsets, lo, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec((n_off, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R,), vals.dtype),
+    )(vals, xpad)
+
+
+def dia_spmv_pallas_viable(offsets, R: int, n_cols_pad: int, itemsize: int) -> bool:
+    if not offsets or R < MIN_ROWS_FOR_PALLAS or _pick_tile(R) == 0:
+        return False
+    lo = min(min(offsets), 0)
+    hi = max(max(offsets) + R, n_cols_pad)
+    return (hi - lo + ALIGN) * itemsize <= MAX_X_VMEM_BYTES
+
+
+def dia_spmv_pallas(offsets, vals, x, n_cols_pad: int):
+    R = vals.shape[-1]
+    lo = min(min(offsets), 0)
+    hi = max(max(offsets) + R, n_cols_pad)
+    return _dia_spmv_pallas(
+        vals, x, offsets=tuple(offsets), lo=lo, span=hi - lo, R=R,
+        n_cols_pad=n_cols_pad,
+    )

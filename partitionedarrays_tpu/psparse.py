@@ -32,7 +32,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .backends import Backend
-from .ops.ell import ell_spmv, stack_ell
+from .ops.blocks import DeviceBlock, freeze_block
 from .ops.sparse_host import compresscoo, precompute_nzindex
 from .parallel.exchange_plan import VectorLayout
 from .parallel.p_range import (
@@ -59,34 +59,59 @@ def _sorted_ghosts(gids: np.ndarray, owners: np.ndarray):
 
 @jax.tree_util.register_pytree_node_class
 class DeviceSpMat:
-    """Stacked ELL arrays for the split blocks ([P, rows_pad, K] each)."""
+    """Frozen device blocks (DeviceBlock each: DIA fast path or ELL)."""
 
-    def __init__(self, oo_cols, oo_vals, oh_cols, oh_vals, ho=None, hh=None):
-        self.oo_cols, self.oo_vals = oo_cols, oo_vals
-        self.oh_cols, self.oh_vals = oh_cols, oh_vals
-        self.ho = ho  # (cols, vals) or None
+    def __init__(self, oo, oh, ho=None, hh=None):
+        self.oo = oo
+        self.oh = oh
+        self.ho = ho
         self.hh = hh
 
     def tree_flatten(self):
-        return (
-            (self.oo_cols, self.oo_vals, self.oh_cols, self.oh_vals, self.ho, self.hh),
-            None,
-        )
+        return (self.oo, self.oh, self.ho, self.hh), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = cls.__new__(cls)
-        (obj.oo_cols, obj.oo_vals, obj.oh_cols, obj.oh_vals, obj.ho, obj.hh) = ch
+        (obj.oo, obj.oh, obj.ho, obj.hh) = ch
         return obj
+
+    def nbytes(self) -> int:
+        return sum(
+            b.nbytes() for b in (self.oo, self.oh, self.ho, self.hh) if b is not None
+        )
 
 
 # ---------------------------------------------------------------------------
 # the container
 # ---------------------------------------------------------------------------
 
+class _HostRef:
+    """Identity-keyed aux wrapper: hashable/comparable by host object id so
+    jit caching works across calls with the same matrix."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostRef) and other.obj is self.obj
+
+@jax.tree_util.register_pytree_node_class
 class PSparseMatrix:
     """blocks[p] = dict with scipy CSR blocks 'oo','oh' (+'ho','hh' when
-    subassembled); row/col partitions carry the ghost structure."""
+    subassembled); row/col partitions carry the ghost structure.
+
+    Registered as a pytree whose LEAVES are the frozen device (ELL) arrays:
+    passing the matrix through ``jax.jit`` ships the arrays as arguments
+    instead of baking hundreds of MB of constants into the program (which
+    would blow up compile payloads).  Host metadata travels as aux data
+    keyed by object identity, so repeated jit calls with the same matrix
+    hit the compilation cache."""
 
     def __init__(
         self,
@@ -103,6 +128,22 @@ class PSparseMatrix:
         self.assembled = assembled
         self._device: Optional[DeviceSpMat] = None
         self._device_T = None
+
+    # -- pytree protocol ----------------------------------------------
+    def tree_flatten(self):
+        # freeze on first flatten; device arrays (and the lazily-built
+        # transpose, if any) are the leaves
+        return (self.device(), self._device_T), _HostRef(self)
+
+    @classmethod
+    def tree_unflatten(cls, host_ref, children):
+        dev, dev_t = children
+        host = host_ref.obj
+        obj = cls.__new__(cls)
+        obj.__dict__.update(host.__dict__)
+        obj._device = dev
+        obj._device_T = dev_t
+        return obj
 
     # -- info ----------------------------------------------------------
     @property
@@ -151,54 +192,43 @@ class PSparseMatrix:
     def device(self) -> DeviceSpMat:
         if self._device is None:
             rlay = self.row_layout()
+            clay = self.col_layout()
             no = rlay.n_own_pad
-            ooc, oov = stack_ell([b["oo"] for b in self.blocks], no)
-            ohc, ohv = stack_ell([b["oh"] for b in self.blocks], no)
+            ngc = max(clay.n_ghost_pad, 1)
+            oo = freeze_block([b["oo"] for b in self.blocks], no, clay.n_own_pad)
+            oh = freeze_block([b["oh"] for b in self.blocks], no, ngc)
             ho = hh = None
             if not self.assembled:
                 ng = max(rlay.n_ghost_pad, 1)
-                hoc, hov = stack_ell(
+                ho = freeze_block(
                     [b["ho"] if b.get("ho") is not None else sp.csr_matrix((li.n_ghost, b["oo"].shape[1]), dtype=self.dtype)
                      for b, li in zip(self.blocks, self.row_prange.partition())],
                     ng,
+                    clay.n_own_pad,
                 )
-                hhc, hhv = stack_ell(
+                hh = freeze_block(
                     [b["hh"] if b.get("hh") is not None else sp.csr_matrix((li.n_ghost, b["oh"].shape[1]), dtype=self.dtype)
                      for b, li in zip(self.blocks, self.row_prange.partition())],
                     ng,
+                    ngc,
                 )
-                ho = (jnp.asarray(hoc), jnp.asarray(hov))
-                hh = (jnp.asarray(hhc), jnp.asarray(hhv))
-            self._device = self.backend.shard(
-                DeviceSpMat(
-                    jnp.asarray(ooc),
-                    jnp.asarray(oov),
-                    jnp.asarray(ohc),
-                    jnp.asarray(ohv),
-                    ho,
-                    hh,
-                )
-            )
+            self._device = self.backend.shard(DeviceSpMat(oo, oh, ho, hh))
         return self._device
 
     def device_transpose(self):
-        """ELL of (own_own^T, own_ghost^T) for the transpose SpMV."""
+        """Frozen (own_own^T, own_ghost^T) blocks for the transpose SpMV."""
         if self._device_T is None:
             clay = self.col_layout()
-            ooT_c, ooT_v = stack_ell(
-                [b["oo"].T.tocsr() for b in self.blocks], clay.n_own_pad
+            rlay = self.row_layout()
+            ooT = freeze_block(
+                [b["oo"].T.tocsr() for b in self.blocks], clay.n_own_pad, rlay.n_own_pad
             )
-            ohT_c, ohT_v = stack_ell(
-                [b["oh"].T.tocsr() for b in self.blocks], max(clay.n_ghost_pad, 1)
+            ohT = freeze_block(
+                [b["oh"].T.tocsr() for b in self.blocks],
+                max(clay.n_ghost_pad, 1),
+                rlay.n_own_pad,
             )
-            self._device_T = self.backend.shard(
-                (
-                    jnp.asarray(ooT_c),
-                    jnp.asarray(ooT_v),
-                    jnp.asarray(ohT_c),
-                    jnp.asarray(ohT_v),
-                )
-            )
+            self._device_T = self.backend.shard((ooT, ohT))
         return self._device_T
 
     def invalidate_device(self):
@@ -560,35 +590,30 @@ def spmv(A: PSparseMatrix, x: PVector, alpha=1.0) -> PVector:
 
     if A.assembled:
         if has_cg:
-            def f(xo, xg, cplan, ooc, oov, ohc, ohv):
+            def f(xo, xg, cplan, oo, oh):
                 g = cplan.apply(xo, xg, "set")
-                return ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, g)
+                return oo.spmv(xo) + oh.spmv(g)
 
             y_own = backend.spmd(f)(
-                x.own, x.ghost, clay.consistent_plan,
-                dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
+                x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh
             )
         else:
-            def f(xo, ooc, oov):
-                return ell_spmv(ooc, oov, xo)
+            def f(xo, oo):
+                return oo.spmv(xo)
 
-            y_own = backend.spmd(f)(x.own, dev.oo_cols, dev.oo_vals)
+            y_own = backend.spmd(f)(x.own, dev.oo)
         y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
     else:
-        hoc, hov = dev.ho
-        hhc, hhv = dev.hh
-
-        def f(xo, xg, cplan, rplan, ooc, oov, ohc, ohv, hoc, hov, hhc, hhv):
+        def f(xo, xg, cplan, rplan, oo, oh, ho, hh):
             g = cplan.apply(xo, xg, "set") if has_cg else xg
-            yo = ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, g)
-            yg = ell_spmv(hoc, hov, xo) + ell_spmv(hhc, hhv, g)
+            yo = oo.spmv(xo) + oh.spmv(g)
+            yg = ho.spmv(xo) + hh.spmv(g)
             yo = rplan.apply(yg, yo, "add")
             return yo
 
         y_own = backend.spmd(f)(
             x.own, x.ghost, clay.consistent_plan, rlay.assemble_plan,
-            dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
-            hoc, hov, hhc, hhv,
+            dev.oo, dev.oh, dev.ho, dev.hh,
         )
         y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
     if alpha != 1.0:
@@ -601,26 +626,24 @@ def spmtv(A: PSparseMatrix, x: PVector) -> PVector:
     Result is partitioned by ``A.col_prange``; ghost-column contributions are
     assembled back to their owners (reversed communication pattern)."""
     assert A.assembled, "spmtv implemented for assembled matrices"
-    ooT_c, ooT_v, ohT_c, ohT_v = A.device_transpose()
+    ooT, ohT = A.device_transpose()
     clay = A.col_layout()
     backend = A.backend
     has_cg = clay.n_ghost_pad > 0 and clay.assemble_plan.n_rounds > 0
 
     if has_cg:
-        def f(xo, aplan, ooc, oov, ohc, ohv):
-            yo = ell_spmv(ooc, oov, xo)
-            yg = ell_spmv(ohc, ohv, xo)
+        def f(xo, aplan, ooT, ohT):
+            yo = ooT.spmv(xo)
+            yg = ohT.spmv(xo)
             yo = aplan.apply(yg, yo, "add")
             return yo
 
-        y_own = backend.spmd(f)(
-            x.own, clay.assemble_plan, ooT_c, ooT_v, ohT_c, ohT_v
-        )
+        y_own = backend.spmd(f)(x.own, clay.assemble_plan, ooT, ohT)
     else:
-        def f(xo, ooc, oov):
-            return ell_spmv(ooc, oov, xo)
+        def f(xo, ooT):
+            return ooT.spmv(xo)
 
-        y_own = backend.spmd(f)(x.own, ooT_c, ooT_v)
+        y_own = backend.spmd(f)(x.own, ooT)
     y_ghost = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=y_own.dtype)
     return PVector(y_own, y_ghost, clay, backend)
 

@@ -52,6 +52,28 @@ def identity_solver():
     return lambda r: r
 
 
+def _register_identity_pytree(cls, leaf_names):
+    """Register a smoother class as a pytree: the listed attributes are
+    leaves (device arrays / nested pytrees such as the PSparseMatrix), the
+    rest of the object is identity-keyed aux data.  This lets smoothers be
+    passed through jit as arguments instead of baked-in constants."""
+
+    def flatten(obj):
+        from ..psparse import _HostRef
+
+        return tuple(getattr(obj, n, None) for n in leaf_names), _HostRef(obj)
+
+    def unflatten(host_ref, children):
+        obj = cls.__new__(cls)
+        obj.__dict__.update(host_ref.obj.__dict__)
+        for n, c in zip(leaf_names, children):
+            setattr(obj, n, c)
+        return obj
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
 class JacobiCorrection:
     """dx = D^-1 r (parity: jacobi_correction, smoothers.jl:17-31)."""
 
@@ -115,10 +137,9 @@ class GaussSeidel:
         self.diag = A.backend.shard(jnp.asarray(diag))
 
     # -- one hybrid sweep (per-part SPMD function) ---------------------
-    def _sweep_once(self, xo, xg, colors, inv_diag, diag, dev, bo, order):
-        ooc, oov, ohc, ohv = dev
+    def _sweep_once(self, xo, xg, colors, inv_diag, diag, oo, oh, bo, order):
         for c in order:
-            ax = ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, xg)
+            ax = oo.spmv(xo) + oh.spmv(xg)
             # row residual keeping the diagonal term: x_i^new =
             # (b_i - sum_{j != i} a_ij x_j) / a_ii = x_i + (b_i - ax_i)/a_ii
             xnew = xo + (bo - ax) * inv_diag
@@ -146,29 +167,27 @@ class GaussSeidel:
         for _ in range(self.iterations):
             for order in orders:
                 if has_cg:
-                    def f(xo, xg, cplan, colors, invd, dg, ooc, oov, ohc, ohv, bo):
+                    def f(xo, xg, cplan, colors, invd, dg, oo, oh, bo):
                         g = cplan.apply(xo, xg, "set")
                         xo2 = self._sweep_once(
-                            xo, g, colors, invd, dg, (ooc, oov, ohc, ohv), bo, order
+                            xo, g, colors, invd, dg, oo, oh, bo, order
                         )
                         return xo2, g
 
                     xo, xg = backend.spmd(f)(
                         xo, xg, clay.consistent_plan,
                         self.colors, self.inv_diag, self.diag,
-                        dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
-                        b.own,
+                        dev.oo, dev.oh, b.own,
                     )
                 else:
-                    def f(xo, xg, colors, invd, dg, ooc, oov, ohc, ohv, bo):
+                    def f(xo, xg, colors, invd, dg, oo, oh, bo):
                         return self._sweep_once(
-                            xo, xg, colors, invd, dg, (ooc, oov, ohc, ohv), bo, order
+                            xo, xg, colors, invd, dg, oo, oh, bo, order
                         )
 
                     xo = backend.spmd(f)(
                         xo, xg, self.colors, self.inv_diag, self.diag,
-                        dev.oo_cols, dev.oo_vals, dev.oh_cols, dev.oh_vals,
-                        b.own,
+                        dev.oo, dev.oh, b.own,
                     )
         return PVector(xo, x.ghost, x.layout, backend)
 
@@ -236,3 +255,8 @@ class AdditiveSchwarz:
 
 def additive_schwarz(A: PSparseMatrix, local_solver: Optional[Callable] = None) -> AdditiveSchwarz:
     return AdditiveSchwarz(A, local_solver)
+
+
+_register_identity_pytree(JacobiCorrection, ("inv_diag",))
+_register_identity_pytree(GaussSeidel, ("A", "colors", "inv_diag", "diag"))
+_register_identity_pytree(AdditiveSchwarz, ("A", "lu", "piv"))
