@@ -123,18 +123,32 @@ class GaussSeidel:
         self.sweep = sweep
         lay = A.row_layout()
         self.layout = lay
-        color_parts = [greedy_coloring(b["oo"]) for b in A.blocks]
-        self.n_colors = int(max((c.max() + 1) if c.size else 1 for c in color_parts))
-        colors = stack_parts(color_parts, pad_to=lay.n_own_pad, fill=-1)
-        diag_parts = []
-        for b in A.blocks:
-            d = b["oo"].diagonal()
-            diag_parts.append(d)
-        diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=1.0)
-        inv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
-        self.colors = A.backend.shard(jnp.asarray(colors))
-        self.inv_diag = A.backend.shard(jnp.asarray(inv))
-        self.diag = A.backend.shard(jnp.asarray(diag))
+        diag_parts = [b["oo"].diagonal() for b in A.blocks]
+        diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
+        # fast path: banded own_own block -> mod-m colored DIA sweep
+        # (one-SpMV-cost true GS, see gs_dia.py)
+        self.colored = None
+        self.colors = self.inv_diag = self.diag = None
+        dev_oo = A.device().oo
+        if dev_oo.kind == "dia":
+            from .gs_dia import ColoredDIAGS, find_mod_coloring
+
+            if find_mod_coloring(dev_oo.offsets) is not None:
+                self.colored = ColoredDIAGS(
+                    dev_oo.offsets, np.asarray(dev_oo.vals), diag
+                )
+                self.colored.vals_d = A.backend.shard(self.colored.vals_d)
+                self.colored.invd_d = A.backend.shard(self.colored.invd_d)
+                self.n_colors = self.colored.m
+        if self.colored is None:
+            # general fallback: greedy multicolor, n_colors masked passes
+            color_parts = [greedy_coloring(b["oo"]) for b in A.blocks]
+            self.n_colors = int(max((c.max() + 1) if c.size else 1 for c in color_parts))
+            colors = stack_parts(color_parts, pad_to=lay.n_own_pad, fill=-1)
+            inv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
+            self.colors = A.backend.shard(jnp.asarray(colors))
+            self.inv_diag = A.backend.shard(jnp.asarray(inv))
+            self.diag = A.backend.shard(jnp.asarray(diag))
 
     # -- one hybrid sweep (per-part SPMD function) ---------------------
     def _sweep_once(self, xo, xg, colors, inv_diag, diag, oo, oh, bo, order):
@@ -163,6 +177,28 @@ class GaussSeidel:
         has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
         xo = x.own
         xg = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=x.own.dtype)
+
+        if self.colored is not None:
+            col = self.colored
+            for _ in range(self.iterations):
+                for order in orders:
+                    if has_cg:
+                        def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
+                            g = cplan.apply(xo, xg, "set")
+                            gc = oh.spmv(g)
+                            return col.sweep(xo, bo, gc, vals_d, invd_d, order), g
+
+                        xo, xg = backend.spmd(f)(
+                            xo, xg, clay.consistent_plan,
+                            col.vals_d, col.invd_d, dev.oh, b.own,
+                        )
+                    else:
+                        def f(xo, vals_d, invd_d, bo):
+                            gc = jnp.zeros_like(bo)
+                            return col.sweep(xo, bo, gc, vals_d, invd_d, order)
+
+                        xo = backend.spmd(f)(xo, col.vals_d, col.invd_d, b.own)
+            return PVector(xo, x.ghost, x.layout, backend)
 
         for _ in range(self.iterations):
             for order in orders:
@@ -258,5 +294,9 @@ def additive_schwarz(A: PSparseMatrix, local_solver: Optional[Callable] = None) 
 
 
 _register_identity_pytree(JacobiCorrection, ("inv_diag",))
-_register_identity_pytree(GaussSeidel, ("A", "colors", "inv_diag", "diag"))
+_register_identity_pytree(GaussSeidel, ("A", "colors", "inv_diag", "diag", "colored"))
 _register_identity_pytree(AdditiveSchwarz, ("A", "lu", "piv"))
+
+from .gs_dia import ColoredDIAGS as _ColoredDIAGS  # noqa: E402
+
+_register_identity_pytree(_ColoredDIAGS, ("vals_d", "invd_d"))

@@ -1,0 +1,83 @@
+"""HPCG package tests (reference analogue: HPCG/test/hpcg_benchmark_tests.jl:
+partitioned matrix equals the sequential one; CG with MG preconditioner
+converges; driver runs the 3-phase protocol)."""
+import numpy as np
+import pytest
+
+from partitionedarrays_tpu.backends import SerialBackend
+from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
+from partitionedarrays_tpu.models.hpcg.mg import HPCGMGPreconditioner, restrict_operator
+from partitionedarrays_tpu.models.hpcg.opt3d import compute_optimal_shape_xyz
+from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
+from partitionedarrays_tpu.models.hpcg.cg import hpcg_cg
+from partitionedarrays_tpu.psparse import to_global_scipy
+from partitionedarrays_tpu.pvector import collect
+
+
+def test_problem_matches_sequential(backend4):
+    """Partitioned build equals the 1-part build
+    (parity: HPCG/test/hpcg_benchmark_tests.jl:20-28)."""
+    A4, b4 = build_hpcg_problem((4, 4, 4), (2, 2, 1), backend4)
+    A1, b1 = build_hpcg_problem((8, 8, 4), (1, 1, 1), SerialBackend(1))
+    G4 = to_global_scipy(A4)
+    G1 = to_global_scipy(A1)
+    assert (abs(G4 - G1)).max() < 1e-14
+    assert np.allclose(collect(b4), collect(b1))
+    # structural invariants of the 27-pt operator
+    assert np.allclose(G4.diagonal(), 26.0)
+    interior = G4.shape[0] // 2  # some interior row
+    assert G4[interior].nnz <= 27
+
+
+def test_restrict_operator():
+    f2c = restrict_operator(4, 4, 4)
+    assert f2c.size == 8
+    # coarse (0,0,0) -> fine (0,0,0); coarse (1,1,1) -> fine (2,2,2)
+    assert f2c[0] == 0
+    assert f2c[-1] == (2 * 4 + 2) * 4 + 2
+
+
+def test_optimal_shape():
+    assert compute_optimal_shape_xyz(1) == (1, 1, 1)
+    assert compute_optimal_shape_xyz(8) == (2, 2, 2)
+    px, py, pz = compute_optimal_shape_xyz(12)
+    assert px * py * pz == 12
+
+
+def test_mg_preconditioned_cg_converges(backend4):
+    import jax
+
+    mg = HPCGMGPreconditioner((8, 8, 8), (2, 2, 1), backend4, n_levels=3)
+    A, b = mg.A, mg.b
+
+    @jax.jit
+    def run(A, mg, b):
+        x, norms = hpcg_cg(A, b, M=mg, iterations=25)
+        return x.own, norms
+
+    own, norms = run(A, mg, b)
+    norms = np.asarray(norms)
+    rel = norms / norms[0]
+    # HPCG's MG-preconditioned CG contracts fast; 25 iters -> well below 1e-8
+    assert rel[-1] < 1e-8
+    # and much faster than unpreconditioned
+    x2, norms2 = hpcg_cg(A, b, M=None, iterations=25)
+    assert rel[-1] < np.asarray(norms2)[-1] / np.asarray(norms2)[0]
+
+
+def test_hpcg_driver(backend4):
+    report = hpcg_benchmark(
+        backend4,
+        local_shape=(8, 8, 8),
+        parts_per_dir=(2, 2, 1),
+        n_levels=3,
+        iterations=10,
+        ref_sets=1,
+        timed_sets=1,
+        dtype=np.float64,
+    )
+    s = report.summary()
+    assert s["GFLOPs"]["raw"] > 0
+    assert s["GBs_model"] > 0
+    assert s["final_relres"] < 1e-3
+    assert report.flops()["total"] > report.flops()["spmv"]
