@@ -103,11 +103,33 @@ def spmv_bench():
     return gbs, nnz / dt, dt, nrows, nnz
 
 
+def hpcg_rating():
+    from partitionedarrays_tpu.backends import SerialBackend
+    from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
+
+    report = hpcg_benchmark(
+        SerialBackend(1),
+        local_shape=(128, 128, 128),
+        parts_per_dir=(1, 1, 1),
+        n_levels=4,
+        iterations=50,
+        ref_sets=1,
+        timed_sets=3,
+        dtype=np.float32,
+    )
+    s = report.summary()
+    return s["GFLOPs"]["raw"], s["GBs_model"], s["final_relres"]
+
+
 def main():
     import jax
 
     stream = stream_bandwidth_gbs()
     gbs, nnz_s, dt, nrows, nnz = spmv_bench()
+    try:
+        hpcg_gf, hpcg_gbs, hpcg_res = hpcg_rating()
+    except Exception:
+        hpcg_gf = hpcg_gbs = hpcg_res = None
     result = {
         "metric": "hpcg27_spmv_bandwidth",
         "value": round(gbs, 2),
@@ -120,6 +142,9 @@ def main():
             "gnnz_per_s": round(nnz_s / 1e9, 3),
             "nrows": nrows,
             "nnz": nnz,
+            "hpcg_gflops_raw": hpcg_gf,
+            "hpcg_gbs_model": hpcg_gbs,
+            "hpcg_final_relres": hpcg_res,
         },
     }
     print(json.dumps(result))

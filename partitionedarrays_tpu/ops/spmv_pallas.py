@@ -58,8 +58,11 @@ def _dia_kernel(offsets: Tuple[int, ...], lo: int, T: int, vals_ref, x_ref, y_re
     jax.jit, static_argnames=("offsets", "lo", "span", "R", "n_cols_pad")
 )
 def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
-    xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
-    xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
+    if lo == 0 and x.shape[0] >= span + ALIGN:
+        xpad = x  # caller pre-padded (e.g. the colored-GS flat buffer)
+    else:
+        xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
+        xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
     T = _pick_tile(R)
     n_off = vals.shape[0]
     kernel = functools.partial(_dia_kernel, offsets, lo, T)

@@ -2,33 +2,36 @@
 a de-interleaved unknown vector.
 
 Classic multicolor GS on a vector machine costs n_colors full SpMV-like
-passes per sweep.  For a banded own_own block (diagonal offsets O) we can
-do a TRUE Gauss-Seidel sweep at exactly one-SpMV cost with only contiguous
-vector ops:
+passes per sweep.  For a banded own_own block (diagonal offsets O) we do a
+TRUE Gauss-Seidel sweep at one-SpMV data volume using contiguous ops only:
 
 1. Pick the smallest m >= 2 such that no nonzero offset o in O is a
    multiple of m.  Then color(i) = i mod m is a valid coloring (no two
    coupled rows share a color).
-2. De-interleave x into xd[m, L] with xd[s, i'] = x[m*i' + s].  A stride-m
-   sample of a shifted sequence is a *shifted contiguous row* of xd:
-   x[m*i' + c + o] = xd[(c+o) mod m, i' + (c + o - ((c+o) mod m)) / m].
-3. Per color c, the GS update touches only row c of xd:
-   xd[c] += (bd[c] - sum_d vals_c[d] * shift(xd[s_d], k_d) - ghost_c) / a_ii
-   where vals_c is the (setup-time, contiguous) de-interleaved diagonal
-   storage.  Forward sweep = colors ascending, backward = descending.
+2. De-interleave x into rows xd[s, i'] = x[m*i' + s]: a stride-m sample of
+   a shifted sequence is a *shifted contiguous row* of xd, so every
+   diagonal's contribution to the color-c rows is a contiguous slice.
+3. Lay the rows out in one flat buffer (with zero inter-row pads): the
+   color-c update becomes literally a DIA SpMV with static absolute
+   offsets into that buffer — so it reuses the roofline Pallas stencil
+   kernel (ops/spmv_pallas.py).  Per sweep: m such updates, total data
+   volume = one pass over the diagonal values.
 
-Total work per sweep = nnz multiply-adds, all contiguous slices — same
-cost profile as the DIA SpMV.  Ghost-column contributions are frozen per
-sweep (hybrid processor-block GS, identical to the reference semantics at
+Ghost-column contributions are frozen per sweep (hybrid processor-block
+GS, identical to the reference's semantics at
 PartitionedSolvers/src/smoothers.jl:104-143).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _round_up(x: int, mlt: int) -> int:
+    return ((x + mlt - 1) // mlt) * mlt
 
 
 def find_mod_coloring(offsets, max_m: int = 512) -> Optional[int]:
@@ -46,7 +49,7 @@ class ColoredDIAGS:
     """Per-block state for the mod-m colored DIA Gauss-Seidel sweep.
 
     Built from the stacked DIA storage vals[P, n_off, R] of the own_own
-    block; all arrays are host-prepared once and frozen.
+    block; all tables host-prepared once and frozen.
     """
 
     def __init__(self, offsets: Tuple[int, ...], vals: np.ndarray, diag: np.ndarray):
@@ -55,48 +58,64 @@ class ColoredDIAGS:
         assert m is not None
         self.m = m
         P, n_off, R = vals.shape
-        L = -(-R // m)
-        Rp = m * L
         self.R = R
-        self.L = L
-        # max |row shift| after de-interleaving
-        self.K = max(
-            (abs((c + o) // m) + 1 for o in self.offsets for c in range(m)),
-            default=1,
-        )
-        # de-interleave diagonal values: vals_d[P, m, n_off, L]
-        vp = np.zeros((P, n_off, Rp), dtype=vals.dtype)
+        L = -(-R // m)
+        self.Lq = _round_up(max(L, 1), 1024)  # padded de-interleaved row core
+        Lq = self.Lq
+        # max |de-interleaved row shift|
+        K = max((abs((c + o) // m) + 1 for o in self.offsets for c in range(m)), default=1)
+        self.Kp = _round_up(K, 1024)
+        self.Lp = self.Kp + Lq + self.Kp  # full row stride in the flat buffer
+        self.n_flat = m * self.Lp
+
+        # de-interleave diagonal values: vals_d[P, m, n_off, Lq]
+        Rq = m * Lq
+        vp = np.zeros((P, n_off, Rq), dtype=vals.dtype)
         vp[:, :, :R] = vals
-        vals_d = vp.reshape(P, n_off, L, m).transpose(0, 3, 1, 2)
+        vals_d = vp.reshape(P, n_off, Lq, m).transpose(0, 3, 1, 2)
         self.vals_d = jnp.asarray(np.ascontiguousarray(vals_d))
         # de-interleaved inverse diagonal (zero on padding -> no-op update)
-        dp = np.zeros((P, Rp), dtype=diag.dtype)
+        dp = np.zeros((P, Rq), dtype=diag.dtype)
         dp[:, :R] = diag
         inv = np.where(dp != 0, 1.0 / np.where(dp != 0, dp, 1.0), 0.0)
-        self.invd_d = jnp.asarray(np.ascontiguousarray(inv.reshape(P, L, m).transpose(0, 2, 1)))
-        # static schedule: per color, per diagonal -> (source row, shift)
+        self.invd_d = jnp.asarray(
+            np.ascontiguousarray(inv.reshape(P, Lq, m).transpose(0, 2, 1))
+        )
+        # static ABSOLUTE offsets per color: the color-c update computes
+        # ax[i] = sum_d vals_c[d, i] * xflat[offs_d + i] with
+        # offs_d = s_d*Lp + Kp + k_d >= 0 — literally a DIA SpMV into the
+        # flat buffer, reusing the roofline Pallas stencil kernel.
         self.schedule = []
         for c in range(m):
-            terms = []
-            for d, o in enumerate(self.offsets):
+            offs = []
+            for o in self.offsets:
                 j = c + o
                 s = j % m
                 k = (j - s) // m
-                terms.append((d, s, k))
-            self.schedule.append(terms)
+                offs.append(s * self.Lp + self.Kp + k)
+            self.schedule.append(tuple(offs))
+        self.max_abs_off = max(max(s) for s in self.schedule)
 
-    # -- per-part SPMD sweep ------------------------------------------
+    # -- de/interleave (per-part, traceable) --------------------------
     def deinterleave(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x[R] (own values, padded) -> xd[m, K + L + K] (zero-edged)."""
-        Rp = self.m * self.L
-        xp = jnp.zeros((Rp,), x.dtype).at[: self.R].set(x[: self.R])
-        xd = xp.reshape(self.L, self.m).T
-        return jnp.pad(xd, ((0, 0), (self.K, self.K)))
+        """x[R-padded own values] -> xd[m, Lq] (no inter-row pads)."""
+        m, Lq = self.m, self.Lq
+        Rq = m * Lq
+        xp = jnp.zeros((Rq,), x.dtype).at[: self.R].set(x[: self.R])
+        return xp.reshape(Lq, m).T
 
-    def interleave(self, xd: jnp.ndarray) -> jnp.ndarray:
-        core = xd[:, self.K : self.K + self.L]
-        return core.T.reshape(self.m * self.L)[: self.R]
+    def to_flat(self, xd: jnp.ndarray) -> jnp.ndarray:
+        """xd[m, Lq] -> zero-padded flat buffer [m*Lp] (+ tail headroom)."""
+        m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
+        buf = jnp.zeros((m, Lp), xd.dtype).at[:, Kp : Kp + Lq].set(xd)
+        return jnp.concatenate([buf.reshape(-1), jnp.zeros((Kp,), xd.dtype)])
 
+    def from_flat(self, xflat: jnp.ndarray) -> jnp.ndarray:
+        m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
+        xd = xflat[: m * Lp].reshape(m, Lp)[:, Kp : Kp + Lq]
+        return xd.T.reshape(m * Lq)[: self.R]
+
+    # -- the sweep -----------------------------------------------------
     def sweep(
         self,
         xo: jnp.ndarray,
@@ -109,16 +128,27 @@ class ColoredDIAGS:
         """One GS sweep over colors in ``order`` (per-part arrays).
 
         ghost_contrib[R] = own_ghost @ x_ghost, frozen for the sweep.
-        vals_d/invd_d are the per-part slices of the stacked tables.
+        vals_d [m, n_off, Lq] / invd_d [m, Lq] are per-part table slices.
         """
-        K, L = self.K, self.L
-        xd = self.deinterleave(xo)
+        from .. import config
+        from ..ops.dia import dia_spmv
+        from ..ops.spmv_pallas import dia_spmv_pallas, dia_spmv_pallas_viable
+
+        m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
+        xflat = self.to_flat(self.deinterleave(xo))
         bd = self.deinterleave(bo - ghost_contrib)
+        n_flat = xflat.shape[0]
+        use_pallas = config.pallas_enabled() and dia_spmv_pallas_viable(
+            (0, self.max_abs_off), Lq, n_flat, xflat.dtype.itemsize
+        )
         for c in order:
-            ax = jnp.zeros((L,), xo.dtype)
-            for (d, s, k) in self.schedule[c]:
-                seg = jax.lax.slice(xd[s], (K + k,), (K + k + L,))
-                ax = ax + vals_d[c, d] * seg
-            xnew = jax.lax.slice(xd[c], (K,), (K + L,)) + (bd[c, K : K + L] - ax) * invd_d[c]
-            xd = jax.lax.dynamic_update_slice(xd, xnew[None, :], (c, K))
-        return self.interleave(xd)
+            offs = self.schedule[c]
+            if use_pallas:
+                ax = dia_spmv_pallas(offs, vals_d[c], xflat, n_flat)
+            else:
+                ax = dia_spmv(offs, vals_d[c], xflat, n_flat)
+            start = c * Lp + Kp
+            xrow = jax.lax.dynamic_slice(xflat, (start,), (Lq,))
+            xnew = xrow + (bd[c] - ax) * invd_d[c]
+            xflat = jax.lax.dynamic_update_slice(xflat, xnew, (start,))
+        return self.from_flat(xflat)
