@@ -1,0 +1,387 @@
+"""Smoothed-aggregation algebraic multigrid.
+
+Capability parity with PartitionedSolvers/src/amg.jl: Vanek aggregation
+(:13-149, uncoupled per-part on the own_own block), constant prolongator
+(:151-209), tentative prolongator with nullspace QR per aggregate
+(:259-435), smoothed prolongator P = (I - omega D^-1 A) P0 (:474-521),
+coarse-level size control (:523-542), hierarchy setup / V- and W-cycles /
+statistics (:757-942), default nullspace (:2-11).
+
+TPU-native split: ALL coarsening runs on host at setup (numpy/scipy over
+the per-part blocks, global-view products via psparse's host algebra); the
+cycle is device-resident and jittable — smoothing via the colored-DIA /
+multicolor GS, restriction/prolongation via the frozen transpose/forward
+SpMV of P, and the coarsest solve as a replicated dense inverse applied
+after an ``all_gather`` of the coarse residual (the analogue of the
+reference's repartition-to-main LU, src/p_sparse_matrix.jl:2561-2593,
+without leaving the device).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..backends import AXIS
+from ..parallel.p_range import PRange, variable_partition
+from ..psparse import (
+    PSparseMatrix,
+    psparse,
+    rap,
+    spmv,
+    spmtv,
+    to_global_scipy,
+    transpose_psparse,
+)
+from ..pvector import PVector, pdot, pnorm
+from .smoothers import GaussSeidel, _register_identity_pytree
+
+
+# ---------------------------------------------------------------------------
+# aggregation (host, per part own_own block)
+# ---------------------------------------------------------------------------
+
+def aggregate(A: sp.csr_matrix, epsilon: float = 0.0) -> np.ndarray:
+    """Vanek et al. alg. 5.1 aggregation of a local sparse matrix.
+
+    Returns node -> aggregate id (-1 never remains).  Strength:
+    |a_ij| > epsilon * sqrt(a_ii * a_jj)
+    (parity: aggregate, PartitionedSolvers/src/amg.jl:13-134).
+    """
+    n = A.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    A = A.tocsr()
+    d = np.abs(A.diagonal())
+    agg = np.full(n, -1, dtype=np.int64)
+    # strong neighborhoods (including self)
+    neigh: List[np.ndarray] = []
+    for i in range(n):
+        lo, hi = A.indptr[i], A.indptr[i + 1]
+        js = A.indices[lo:hi]
+        vs = np.abs(A.data[lo:hi])
+        thr = epsilon * np.sqrt(d[i] * d[js])
+        strong = js[(vs > thr) | (js == i)]
+        neigh.append(strong)
+    next_agg = 0
+    # pass 1: seed aggregates from fully-unaggregated neighborhoods
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        ns = neigh[i]
+        if (agg[ns] == -1).all():
+            agg[ns] = next_agg
+            agg[i] = next_agg
+            next_agg += 1
+    # pass 2: attach remaining nodes to a neighboring aggregate
+    pending = np.flatnonzero(agg == -1)
+    attach = agg.copy()
+    for i in pending:
+        for j in neigh[i]:
+            if agg[j] != -1:
+                attach[i] = agg[j]
+                break
+    agg = attach
+    # pass 3: leftover nodes form their own aggregates
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = next_agg
+            next_agg += 1
+    return agg
+
+
+def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0):
+    """Uncoupled per-part aggregation (parity: amg.jl:136-149).
+    Returns (local aggregate ids per part, coarse PRange)."""
+    aggs = [aggregate(b["oo"], epsilon) for b in A.blocks]
+    counts = [int(a.max()) + 1 if a.size else 0 for a in aggs]
+    coarse = PRange(variable_partition(counts))
+    return aggs, coarse
+
+
+# ---------------------------------------------------------------------------
+# prolongators (host)
+# ---------------------------------------------------------------------------
+
+def constant_prolongator(
+    A: PSparseMatrix, aggs: List[np.ndarray], coarse: PRange
+) -> PSparseMatrix:
+    """Piecewise-constant P0 (parity: constant_prolongator, amg.jl:151-209)."""
+    I_parts, J_parts, V_parts = [], [], []
+    for li_f, li_c, a in zip(A.row_prange.partition(), coarse.partition(), aggs):
+        I_parts.append(li_f.own_to_global)
+        J_parts.append(li_c.own_to_global[a])
+        V_parts.append(np.ones(a.size, dtype=A.dtype))
+    fine_rows = PRange([li.remove_ghost() for li in A.row_prange.partition()])
+    return psparse(
+        I_parts, J_parts, V_parts, fine_rows, coarse, A.backend, assembled=True
+    )
+
+
+def tentative_prolongator(
+    A: PSparseMatrix,
+    aggs: List[np.ndarray],
+    coarse: PRange,
+    nullspace: Optional[List[List[np.ndarray]]] = None,
+):
+    """Tentative prolongator; with a nullspace (list of modes per part) the
+    per-aggregate thin QR produces orthonormal columns and the coarse
+    nullspace (parity: tentative_prolongator_with_block_size,
+    amg.jl:268-435).  Returns (P0, coarse_nullspace, coarse_dof_prange).
+    """
+    if nullspace is None:
+        return constant_prolongator(A, aggs, coarse), None, coarse
+    n_modes = len(nullspace[0])
+    # coarse dofs: n_modes per aggregate
+    counts = [int(a.max() + 1) * n_modes if a.size else 0 for a in aggs]
+    coarse_dofs = PRange(variable_partition(counts))
+    I_parts, J_parts, V_parts = [], [], []
+    coarse_ns: List[List[np.ndarray]] = []
+    for li_f, li_cd, a, modes in zip(
+        A.row_prange.partition(), coarse_dofs.partition(), aggs, nullspace
+    ):
+        n_agg = int(a.max() + 1) if a.size else 0
+        B = np.stack(modes, axis=1) if modes else np.zeros((a.size, 0))
+        Is, Js, Vs = [], [], []
+        Bc = np.zeros((n_agg * n_modes, n_modes), dtype=B.dtype)
+        order = np.argsort(a, kind="stable")
+        bounds = np.searchsorted(a[order], np.arange(n_agg + 1))
+        for g in range(n_agg):
+            rows = order[bounds[g] : bounds[g + 1]]
+            Q, Rf = np.linalg.qr(B[rows])  # [na, kq], [kq, n_modes]
+            kq = Q.shape[1]
+            for k in range(n_modes):
+                Is.append(li_f.own_to_global[rows])
+                Js.append(np.full(rows.size, li_cd.own_to_global[g * n_modes + k]))
+                Vs.append(Q[:, k] if k < kq else np.zeros(rows.size, dtype=B.dtype))
+            Bc[g * n_modes : g * n_modes + kq, :] = Rf
+        I_parts.append(np.concatenate(Is) if Is else np.zeros(0, dtype=np.int64))
+        J_parts.append(np.concatenate(Js) if Js else np.zeros(0, dtype=np.int64))
+        V_parts.append(np.concatenate(Vs) if Vs else np.zeros(0))
+        coarse_ns.append([Bc[:, k] for k in range(n_modes)])
+    fine_rows = PRange([li.remove_ghost() for li in A.row_prange.partition()])
+    P0 = psparse(
+        I_parts, J_parts, V_parts, fine_rows, coarse_dofs, A.backend, assembled=True
+    )
+    return P0, coarse_ns, coarse_dofs
+
+
+def spectral_radius(A: PSparseMatrix, Dinv: sp.spmatrix, iters: int = 20) -> float:
+    """Power-method estimate of rho(D^-1 A) on host
+    (parity: spectral_radius, amg.jl:508-521)."""
+    G = Dinv @ to_global_scipy(A)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(G.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        y = G @ x
+        ny = np.linalg.norm(y)
+        if ny == 0:
+            return 1.0
+        lam = ny / np.linalg.norm(x) if np.linalg.norm(x) else 1.0
+        x = y / ny
+    return float(abs(lam))
+
+
+def smoothed_prolongator(
+    A: PSparseMatrix, P0: PSparseMatrix, omega: Optional[float] = None
+) -> PSparseMatrix:
+    """P = (I - omega D^-1 A) P0 (parity: smoothed_prolongator,
+    amg.jl:474-481; omega default 4/(3 rho), amg.jl:483-521)."""
+    G = to_global_scipy(A)
+    d = G.diagonal()
+    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    Dinv = sp.diags(dinv)
+    if omega is None:
+        rho = spectral_radius(A, Dinv)
+        omega = 4.0 / (3.0 * max(rho, 1e-12))
+    S = sp.identity(G.shape[0], dtype=G.dtype, format="csr") - omega * (Dinv @ G)
+    GP = S @ to_global_scipy(P0)
+    from ..psparse import psparse_from_global
+
+    cols = PRange([li.remove_ghost() for li in P0.col_prange.partition()])
+    return psparse_from_global(GP.tocsr(), P0.row_prange, cols, A.backend)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AMGLevel:
+    A: PSparseMatrix
+    P: Optional[PSparseMatrix]  # None on the coarsest level
+    smoother: Optional[GaussSeidel]
+
+
+@dataclass
+class AMGParams:
+    """Parity: amg_level_params / amg_fine_params / amg_coarse_params
+    (amg.jl:757-793)."""
+
+    max_levels: int = 6
+    coarse_size: int = 100
+    epsilon: float = 0.0
+    omega: Optional[float] = None
+    smoother_iters: int = 1
+    cycle: str = "v"  # or "w"
+    block_size: int = 1
+
+
+class AMGPreconditioner:
+    """Callable preconditioner: one cycle on A z = r from z = 0
+    (parity: amg + amg_setup + amg_cycle!, amg.jl:795-879)."""
+
+    def __init__(
+        self,
+        A: PSparseMatrix,
+        params: Optional[AMGParams] = None,
+        nullspace: Optional[List[List[np.ndarray]]] = None,
+    ):
+        params = params or AMGParams()
+        self.params = params
+        self.levels: List[AMGLevel] = []
+        current = A
+        ns = nullspace
+        for l in range(params.max_levels - 1):
+            if current.shape[0] <= params.coarse_size:
+                break
+            aggs, coarse = aggregate_psparse(current, params.epsilon)
+            P0, ns, coarse_dofs = tentative_prolongator(current, aggs, coarse, ns)
+            P = smoothed_prolongator(current, P0, params.omega)
+            R = transpose_psparse(P)
+            Ac = rap(R, current, P)
+            self.levels.append(
+                AMGLevel(current, P, GaussSeidel(current, params.smoother_iters, "symmetric"))
+            )
+            if Ac.shape[0] >= current.shape[0]:
+                # aggregation stalled; stop coarsening
+                current = Ac
+                break
+            current = Ac
+        # coarsest: replicated dense inverse
+        self.levels.append(AMGLevel(current, None, None))
+        G = to_global_scipy(current).toarray()
+        self.coarse_inv = jnp.asarray(np.linalg.pinv(G))
+        self.backend = A.backend
+        clay = current.row_layout()
+        g2g = np.full(
+            (clay.n_parts, clay.n_own_pad), current.shape[0], dtype=np.int32
+        )
+        for p, li in enumerate(current.row_prange.partition()):
+            g2g[p, : li.n_own] = li.own_to_global
+        self.coarse_gids = self.backend.shard(jnp.asarray(g2g))
+
+    # -- coarse solve: all_gather own residual, replicated dense matmul,
+    #    gather back each part's own slice (stays on device; the analogue
+    #    of the reference's repartition-to-main LU)
+    def _coarse_solve(self, b: PVector) -> PVector:
+        lay = b.layout
+        n = lay.pr.n_global
+        g2g_dev = self.coarse_gids
+        Vinv = self.coarse_inv.astype(b.own.dtype)
+
+        def f(bo, gids):
+            full = jax.lax.all_gather(bo, AXIS)  # [P, n_own_pad]
+            allg = jax.lax.all_gather(gids, AXIS)
+            flat = jnp.zeros((n,), full.dtype).at[allg.reshape(-1)].set(
+                full.reshape(-1), mode="drop"
+            )
+            z = Vinv @ flat
+            return jnp.take(z, gids, mode="fill", fill_value=0)
+
+        own = self.backend.spmd(f)(b.own, g2g_dev)
+        return PVector(own, jnp.zeros_like(b.ghost), lay, b.backend)
+
+    # -- cycle ---------------------------------------------------------
+    def _cycle(self, l: int, b: PVector, w: bool) -> PVector:
+        level = self.levels[l]
+        if level.P is None:
+            return self._coarse_solve(b)
+        x = level.smoother(b)  # zero-guess pre-smooth
+        r = _residual_vec(level.A, b, x)
+        rc = spmtv(level.P, _row_view(level.P, r))
+        cl = self.levels[l + 1].A.row_layout()
+        rc = PVector(
+            rc.own[:, : cl.n_own_pad] if rc.own.shape[1] >= cl.n_own_pad else _pad2(rc.own, cl.n_own_pad),
+            jnp.zeros((rc.own.shape[0], cl.n_ghost_pad), rc.own.dtype),
+            cl,
+            b.backend,
+        )
+        ec = self._cycle(l + 1, rc, w)
+        if w and self.levels[l + 1].P is not None:
+            # W-cycle: recurse again with the improved residual
+            rc2 = _residual_vec(self.levels[l + 1].A, rc, ec)
+            ec2 = self._cycle(l + 1, rc2, w)
+            ec = PVector(ec.own + ec2.own, ec.ghost, ec.layout, ec.backend)
+        e = spmv(level.P, _col_view(level.P, ec))
+        x = PVector(x.own + e.own, x.ghost, x.layout, x.backend)
+        return level.smoother.apply(x, b)  # post-smooth
+
+    def __call__(self, r: PVector) -> PVector:
+        return self._cycle(0, r, self.params.cycle == "w")
+
+    # -- diagnostics (parity: amg_statistics, amg.jl:881-914) ----------
+    def statistics(self) -> dict:
+        nnzs = [lev.A.nnz() for lev in self.levels]
+        rows = [lev.A.shape[0] for lev in self.levels]
+        return {
+            "levels": len(self.levels),
+            "rows_per_level": rows,
+            "nnz_per_level": nnzs,
+            "grid_complexity": sum(rows) / rows[0] if rows[0] else 0.0,
+            "operator_complexity": sum(nnzs) / nnzs[0] if nnzs[0] else 0.0,
+        }
+
+
+def _residual_vec(A: PSparseMatrix, b: PVector, x: PVector) -> PVector:
+    Ax = spmv(A, _col_view(A, x))
+    return PVector(b.own - Ax.own, jnp.zeros_like(b.ghost), b.layout, b.backend)
+
+
+def _col_view(A: PSparseMatrix, v: PVector) -> PVector:
+    clay = A.col_layout()
+    if v.layout is clay:
+        return v
+    no = clay.n_own_pad
+    own = v.own[:, :no] if v.own.shape[1] >= no else _pad2(v.own, no)
+    return PVector(
+        own, jnp.zeros((own.shape[0], clay.n_ghost_pad), own.dtype), clay, v.backend
+    )
+
+
+def _row_view(A: PSparseMatrix, v: PVector) -> PVector:
+    rlay = A.row_layout()
+    if v.layout is rlay:
+        return v
+    no = rlay.n_own_pad
+    own = v.own[:, :no] if v.own.shape[1] >= no else _pad2(v.own, no)
+    return PVector(
+        own, jnp.zeros((own.shape[0], rlay.n_ghost_pad), own.dtype), rlay, v.backend
+    )
+
+
+def _pad2(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.pad(a, ((0, 0), (0, n - a.shape[1])))
+
+
+def amg(
+    A: PSparseMatrix,
+    params: Optional[AMGParams] = None,
+    nullspace: Optional[List[List[np.ndarray]]] = None,
+) -> AMGPreconditioner:
+    """Parity alias (amg.jl:795-806)."""
+    return AMGPreconditioner(A, params, nullspace)
+
+
+def default_nullspace(A: PSparseMatrix) -> List[List[np.ndarray]]:
+    """Constant vector per part (parity: default_nullspace, amg.jl:2-11)."""
+    return [[np.ones(li.n_own)] for li in A.row_prange.partition()]
+
+
+_register_identity_pytree(AMGPreconditioner, ("levels", "coarse_inv", "coarse_gids"))
+_register_identity_pytree(AMGLevel, ("A", "P", "smoother"))

@@ -1,0 +1,111 @@
+"""AMG tests (reference analogue: PartitionedSolvers/test/amg_tests.jl)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from partitionedarrays_tpu.backends import SerialBackend
+from partitionedarrays_tpu.models.gallery import (
+    laplacian_fdm,
+    linear_elasticity_fem,
+    node_coordinates_unit_cube,
+    nullspace_linear_elasticity,
+)
+from partitionedarrays_tpu.parallel.p_range import PRange
+from partitionedarrays_tpu.psparse import psparse, spmv, to_global_scipy
+from partitionedarrays_tpu.pvector import collect, pvector_from_own
+from partitionedarrays_tpu.solvers.amg import (
+    AMGParams,
+    AMGPreconditioner,
+    aggregate,
+    amg,
+    default_nullspace,
+)
+from partitionedarrays_tpu.solvers.krylov import cg, _as_col_vector
+
+
+def test_aggregate_1d_laplacian():
+    n = 9
+    A = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    agg = aggregate(A)
+    # every node aggregated, aggregates are contiguous runs
+    assert (agg >= 0).all()
+    assert agg[0] == 0
+    assert agg.max() + 1 <= n // 2 + 1
+
+
+def build_fdm(backend, nodes, parts):
+    I, J, V, rows, cols = laplacian_fdm(nodes, parts)
+    return psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)
+
+
+def manufactured(A, backend):
+    n = A.shape[0]
+    x_exact = np.sin(np.linspace(0.1, 3.0, n))
+    xparts = [x_exact[li.own_to_global] for li in A.row_prange.partition()]
+    x = pvector_from_own(xparts, A.row_prange, backend, dtype=np.float64)
+    b = spmv(A, _as_col_vector(A, x))
+    return x_exact, b
+
+
+def test_amg_hierarchy_and_stats(backend4):
+    A = build_fdm(backend4, (16, 16), (2, 2))
+    M = AMGPreconditioner(A, AMGParams(coarse_size=20, max_levels=5))
+    st = M.statistics()
+    assert st["levels"] >= 2
+    assert st["rows_per_level"][0] == 256
+    assert st["rows_per_level"][-1] <= 20 or st["levels"] == 5
+    assert st["operator_complexity"] < 3.0
+
+
+def test_amg_preconditioned_cg(backend4):
+    A = build_fdm(backend4, (16, 16), (2, 2))
+    x_exact, b = manufactured(A, backend4)
+    base = int(cg(A, b, rtol=1e-10, maxiter=500)[1].iterations)
+    M = amg(A, AMGParams(coarse_size=20))
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=200)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+    assert int(info.iterations) < base
+    assert int(info.iterations) <= 25  # AMG should converge in few iters
+
+
+def test_amg_wcycle(backend4):
+    A = build_fdm(backend4, (12, 12), (2, 2))
+    x_exact, b = manufactured(A, backend4)
+    M = amg(A, AMGParams(coarse_size=20, cycle="w"))
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=100)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+
+
+def test_amg_3d(backend4):
+    A = build_fdm(backend4, (6, 6, 6), (2, 2, 1))
+    x_exact, b = manufactured(A, backend4)
+    M = amg(A, AMGParams(coarse_size=30))
+    x, info = cg(A, b, M=M, rtol=1e-12, maxiter=200)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+
+
+def test_amg_elasticity_with_nullspace():
+    backend = SerialBackend(4)
+    nodes = (6, 6)
+    parts = (2, 2)
+    I, J, V, rows, cols = linear_elasticity_fem(nodes, parts)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend)
+    G = to_global_scipy(A)
+    assert abs(G - G.T).max() < 1e-10
+    coords, node_part = node_coordinates_unit_cube(nodes, parts)
+    ns = nullspace_linear_elasticity(coords, A.row_prange)
+    # nullspace modes have near-zero energy except boundary terms
+    x_exact, b = manufactured(A, backend)
+    M = amg(A, AMGParams(coarse_size=30, block_size=2), nullspace=ns)
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=300)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-4
+    # with nullspace AMG, CG beats unpreconditioned
+    base = int(cg(A, b, rtol=1e-10, maxiter=500)[1].iterations)
+    assert int(info.iterations) < base
+
+
+def test_default_nullspace(backend4):
+    A = build_fdm(backend4, (8, 8), (2, 2))
+    ns = default_nullspace(A)
+    assert len(ns) == 4
+    assert all(len(m) == 1 for m in ns)
