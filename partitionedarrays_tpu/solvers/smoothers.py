@@ -75,12 +75,13 @@ def _register_identity_pytree(cls, leaf_names):
 
 
 class JacobiCorrection:
-    """dx = D^-1 r (parity: jacobi_correction, smoothers.jl:17-31)."""
+    """dx = D^-1 r (parity: jacobi_correction, smoothers.jl:17-31).
+    Built purely host-side so construction also works while tracing."""
 
     def __init__(self, A: PSparseMatrix):
-        d = dense_diag(A)
         inv_parts = []
-        for v in d.own_values():
+        for b in A.blocks:
+            v = b["oo"].diagonal()
             iv = np.zeros_like(v)
             nz = v != 0
             iv[nz] = 1.0 / v[nz]

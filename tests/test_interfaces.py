@@ -1,0 +1,259 @@
+"""Solver protocol, Newton, ODE, primitives, block arrays, PTimer tests
+(reference analogues: PartitionedSolvers tests, test/primitives_tests.jl,
+test/block_arrays_tests.jl)."""
+import numpy as np
+import pytest
+
+from partitionedarrays_tpu.backends import SerialBackend
+from partitionedarrays_tpu.block_arrays import (
+    BMatrix,
+    BRange,
+    BVector,
+    b_assemble,
+    b_collect,
+    b_consistent,
+    b_dot,
+    b_mul,
+    b_norm,
+)
+from partitionedarrays_tpu.models.gallery import laplacian_fdm
+from partitionedarrays_tpu.parallel.p_range import PRange, uniform_partition
+from partitionedarrays_tpu.parallel.primitives import (
+    ExchangeGraph,
+    exchange,
+    gather,
+    getany,
+    i_am_main,
+    is_consistent,
+    map_main,
+    map_parts,
+    multicast,
+    reduction,
+    scan,
+    scatter,
+    tuple_of_arrays,
+)
+from partitionedarrays_tpu.psparse import (
+    dense_diag,
+    psparse,
+    psparse_refill,
+    spmv,
+    sparse_diag_matrix,
+)
+from partitionedarrays_tpu.pvector import PVector, collect, pvector_from_own, pones, pzeros
+from partitionedarrays_tpu.solvers.interfaces import (
+    LinearProblem,
+    NonlinearProblem,
+    ODEProblem,
+    amg_solver,
+    cg_solver,
+    gauss_seidel_solver,
+    jacobi_solver,
+    lu_solver,
+    preconditioner,
+    solve,
+)
+from partitionedarrays_tpu.solvers.nonlinear import newton_raphson
+from partitionedarrays_tpu.solvers.ode import backward_euler
+from partitionedarrays_tpu.utils.ptimer import PTimer
+
+
+def build_fdm(backend, nodes=(10, 10), parts=(2, 2)):
+    I, J, V, rows, cols = laplacian_fdm(nodes, parts)
+    return psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)
+
+
+def manufactured(A, backend):
+    n = A.shape[0]
+    x_exact = np.linspace(0.0, 1.0, n)
+    xp = [x_exact[li.own_to_global] for li in A.row_prange.partition()]
+    x = pvector_from_own(xp, A.row_prange, backend, dtype=np.float64)
+    from partitionedarrays_tpu.solvers.krylov import _as_col_vector
+
+    return x_exact, spmv(A, _as_col_vector(A, x))
+
+
+# -- protocol ---------------------------------------------------------------
+
+def test_lu_and_cg_solvers(backend4):
+    A = build_fdm(backend4)
+    x_exact, b = manufactured(A, backend4)
+    p = LinearProblem(A, b)
+    for s in (lu_solver(), cg_solver(rtol=1e-12)):
+        x = solve(s, p)
+        assert np.linalg.norm(collect(x) - x_exact) < 1e-6
+
+
+def test_solver_as_preconditioner(backend4):
+    from partitionedarrays_tpu.solvers.krylov import cg
+
+    A = build_fdm(backend4)
+    x_exact, b = manufactured(A, backend4)
+    M = preconditioner(jacobi_solver(iterations=2), LinearProblem(A, b))
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=500)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+
+
+def test_gs_amg_solver_protocol(backend4):
+    A = build_fdm(backend4, nodes=(8, 8))
+    x_exact, b = manufactured(A, backend4)
+    x = solve(gauss_seidel_solver(iterations=100), LinearProblem(A, b))
+    err = np.linalg.norm(collect(x) - x_exact) / np.linalg.norm(x_exact)
+    assert err < 0.05
+    x = solve(amg_solver(iterations=20), LinearProblem(A, b))
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+
+
+# -- Newton -----------------------------------------------------------------
+
+def test_newton_raphson(backend4):
+    """Solve A x + x^3 = b with known solution."""
+    A = build_fdm(backend4, nodes=(6, 6))
+    n = A.shape[0]
+    x_star = np.linspace(-0.5, 0.5, n)
+    from partitionedarrays_tpu.solvers.krylov import _as_col_vector
+    from partitionedarrays_tpu.psparse import to_global_scipy
+
+    G = to_global_scipy(A)
+    b_global = G @ x_star + x_star**3
+    pr = A.row_prange
+
+    def vec(vals):
+        return pvector_from_own(
+            [vals[li.own_to_global] for li in pr.partition()], pr,
+            backend4, dtype=np.float64,
+        )
+
+    b = vec(b_global)
+
+    def residual(x):
+        Ax = spmv(A, _as_col_vector(A, x))
+        return PVector(Ax.own + x.own**3 - b.own, Ax.ghost, Ax.layout, Ax.backend)
+
+    def jacobian(x):
+        d3 = PVector(3.0 * x.own**2, x.ghost * 0, x.layout, x.backend)
+        D = sparse_diag_matrix(d3, pr)
+        from partitionedarrays_tpu.psparse import psparse_from_global, to_global_scipy as tg
+
+        return psparse_from_global(G + tg(D), pr, pr, backend4)
+
+    x0 = pzeros(pr, backend4, dtype=np.float64)
+    x, info = newton_raphson(
+        NonlinearProblem(residual, jacobian, x0), rtol=1e-12, maxiters=30
+    )
+    assert info.converged
+    assert np.linalg.norm(collect(x) - x_star) < 1e-8
+    assert info.iterations < 15
+
+
+# -- ODE --------------------------------------------------------------------
+
+def test_backward_euler(backend4):
+    """du/dt = -u, u(0)=1 -> u(t)=exp(-t)."""
+    pr = PRange(uniform_partition(4, 16))
+    u0 = pones(pr, backend4, dtype=np.float64)
+    eye_parts_I = [li.own_to_global for li in pr.partition()]
+
+    def residual(t, x, v):
+        return PVector(v.own + x.own, x.ghost * 0, x.layout, x.backend)
+
+    def jacobian(t, x, v, coeffs):
+        a_x, a_v = coeffs
+        d = pvector_from_own(
+            [np.full(li.n_own, a_x + a_v) for li in pr.partition()], pr,
+            backend4, dtype=np.float64,
+        )
+        return sparse_diag_matrix(d, pr)
+
+    ode = ODEProblem(residual, jacobian, u0, (0.0, 1.0))
+    dt = 0.05
+    for t, u in backward_euler(ode, dt):
+        pass
+    # backward Euler: u_N = (1+dt)^-N; compare against that exactly
+    n_steps = round(1.0 / dt)
+    expected = (1 + dt) ** (-n_steps)
+    assert np.allclose(collect(u), expected, atol=1e-10)
+    assert abs(expected - np.exp(-1.0)) < 0.02
+
+
+# -- primitives -------------------------------------------------------------
+
+def test_primitives_roundtrip():
+    parts = [10, 20, 30, 40]
+    g = gather(parts, destination=1)
+    assert g[1] == [10, 20, 30, 40] and g[0] == []
+    ga = gather(parts, destination="all")
+    assert all(x == [10, 20, 30, 40] for x in ga)
+    # vector payloads -> JaggedArray
+    vparts = [np.arange(i + 1) for i in range(3)]
+    gv = gather(vparts, destination=0)
+    assert list(gv[0][2]) == [0, 1, 2]
+    s = scatter([[1, 2, 3]], source=0)
+    assert s == [1, 2, 3]
+    m = multicast([7, None, None], source=0)
+    assert m == [7, 7, 7]
+    sc = scan(lambda a, b: a + b, [1, 2, 3], 0, type="inclusive")
+    assert sc == [1, 3, 6]
+    sce = scan(lambda a, b: a + b, [1, 2, 3], 0, type="exclusive")
+    assert sce == [0, 1, 3]
+    r = reduction(lambda a, b: a + b, [1, 2, 3], destination="all")
+    assert r == [6, 6, 6]
+    assert i_am_main(0) and not i_am_main(2)
+    assert getany([5, 6]) == 5
+    assert tuple_of_arrays([(1, "a"), (2, "b")]) == ([1, 2], ["a", "b"])
+    mm = map_main(lambda v: v * 2, [3, 4, 5])
+    assert mm == [6, None, None]
+    assert map_parts(lambda a, b: a + b, [1, 2], [10, 20]) == [11, 22]
+
+
+def test_exchange_graph():
+    snd = [[1], [0, 2], [1], []]
+    g = ExchangeGraph(snd)
+    assert g.rcv[0] == [1] and g.rcv[1] == [0, 2] and g.rcv[3] == []
+    assert is_consistent(g)
+    rg = g.reverse()
+    assert rg.snd == g.rcv
+    data = [[np.array([1.0])], [np.array([2.0]), np.array([3.0])], [np.array([4.0])], []]
+    rcv = exchange(data, g).wait()
+    assert rcv[0][0][0] == 2.0
+    assert rcv[1][0][0] == 1.0 and rcv[1][1][0] == 4.0
+    assert rcv[2][0][0] == 3.0
+
+
+# -- block arrays -----------------------------------------------------------
+
+def test_block_vector_matrix(backend4):
+    A = build_fdm(backend4, nodes=(6, 6))
+    x_exact, b = manufactured(A, backend4)
+    X = BVector([b.copy(), b.copy()])
+    assert X.n_blocks == 2
+    br = X.axes_brange()
+    assert br.n_global == 2 * A.shape[0]
+    assert br.blocklasts()[-1] == br.n_global
+    d = float(b_dot(X, X))
+    from partitionedarrays_tpu.pvector import pdot
+
+    assert d == pytest.approx(2 * float(pdot(b, b)))
+    assert float(b_norm(X)) == pytest.approx(np.sqrt(d))
+    Y = X + X
+    assert np.allclose(b_collect(Y), 2 * b_collect(X))
+    X2 = b_consistent(X).wait()
+    M = BMatrix([[A, None], [None, A]])
+    Z = b_mul(M, X2)
+    from partitionedarrays_tpu.solvers.krylov import _as_col_vector
+
+    expected = spmv(A, _as_col_vector(A, X2.blocks[0]))
+    assert np.allclose(b_collect(Z), np.tile(collect(expected), 2))
+
+
+def test_ptimer():
+    t = PTimer()
+    t.tic("a")
+    _ = sum(range(1000))
+    dt = t.toc("a")
+    assert dt >= 0
+    t.tic("a")
+    t.toc("a")
+    st = t.statistics()
+    assert st["a"]["calls"] == 2
+    assert "a" in repr(t)
