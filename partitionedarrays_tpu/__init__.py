@@ -116,9 +116,13 @@ from .pvector import (
     axpy,
     collect,
     consistent,
+    find_local_indices,
     pall,
     pany,
+    pchebyshev,
+    pcityblock,
     pdot,
+    peuclidean,
     pfill,
     pmaximum,
     pminimum,
@@ -126,11 +130,13 @@ from .pvector import (
     pones,
     prand,
     prandn,
+    psqeuclidean,
     psum_reduce,
     pvector,
     pvector_from_local,
     pvector_from_own,
     pzeros,
+    renumber_pvector,
     repartition,
 )
 from .psparse import (
@@ -147,6 +153,7 @@ from .psparse import (
     psparse_refill,
     psystem,
     rap,
+    renumber_matrix,
     repartition_matrix,
     sparse_diag_matrix,
     spmm,

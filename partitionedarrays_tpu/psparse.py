@@ -731,6 +731,31 @@ def repartition_matrix(
     return psparse_from_global(G, as_prange(new_rows), as_prange(new_cols), backend or A.backend)
 
 
+def renumber_matrix(A: PSparseMatrix) -> PSparseMatrix:
+    """Same matrix on the renumbered (contiguous-own) partitions
+    (parity: renumber, src/p_sparse_matrix.jl:2595-2622)."""
+    from .parallel.p_range import renumber_partition
+
+    new_rows = PRange(renumber_partition(A.row_prange.partition()))
+    new_cols = PRange(renumber_partition(
+        [li.remove_ghost() for li in A.col_prange.partition()]
+    ))
+    # remap the global triplets through the renumbering
+    old_rows = A.row_prange.partition()
+    row_map = np.empty(A.shape[0], dtype=INT)
+    for li_old, li_new in zip(old_rows, new_rows.partition()):
+        row_map[li_old.own_to_global] = li_new.own_to_global
+    old_cols = A.col_prange.partition()
+    col_map = np.empty(A.shape[1], dtype=INT)
+    for li_old, li_new in zip(old_cols, new_cols.partition()):
+        col_map[li_old.own_to_global] = li_new.own_to_global
+    G = to_global_scipy(A).tocoo()
+    G2 = sp.coo_matrix(
+        (G.data, (row_map[G.row], col_map[G.col])), shape=A.shape
+    ).tocsr()
+    return psparse_from_global(G2, new_rows, new_cols, A.backend)
+
+
 def psystem(
     I_parts, J_parts, V_parts, Ib_parts, Vb_parts, rows, cols, backend: Backend
 ):

@@ -445,6 +445,79 @@ def collect(x: PVector) -> np.ndarray:
     return out
 
 
+def peuclidean(x: PVector, y: PVector):
+    """Euclidean distance (parity: the Distances.jl metrics support,
+    src/p_vector.jl:1279-1319)."""
+    d = x - y
+    return pnorm(d)
+
+
+def psqeuclidean(x: PVector, y: PVector):
+    d = x - y
+    return pdot(d, d)
+
+
+def pcityblock(x: PVector, y: PVector):
+    f = x.backend.spmd(
+        lambda a, b: jax.lax.psum(jnp.sum(jnp.abs(a - b)), "parts")
+    )
+    return f(x.own, y.own)[0]
+
+
+def pchebyshev(x: PVector, y: PVector):
+    f = x.backend.spmd(
+        lambda a, b: jax.lax.pmax(jnp.max(jnp.abs(a - b)), "parts")
+    )
+    return f(x.own, y.own)[0]
+
+
+def find_local_indices(mask: PVector):
+    """Build the sub-partition selected by a boolean mask, together with a
+    PVector mapping each selected global id to its new global id
+    (parity: find_local_indices, src/p_vector.jl:1468-1507)."""
+    from .parallel.p_range import LocalIndices, PRange as _PR
+
+    pr = mask.layout.pr
+    own_vals = mask.own_values()
+    counts = [int((np.asarray(v) != 0).sum()) for v in own_vals]
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    n_new = int(starts[-1])
+    # old global -> new global for selected entries
+    new_of_old = np.full(pr.n_global, -1, dtype=np.int64)
+    for li, v, s in zip(pr.partition(), own_vals, starts[:-1]):
+        sel = li.own_to_global[np.asarray(v) != 0]
+        new_of_old[sel] = np.arange(s, s + sel.size)
+
+    def g2owner(q):
+        q = np.asarray(q, dtype=np.int64)
+        own = np.searchsorted(starts, np.clip(q, 0, None), side="right") - 1
+        own = np.clip(own, 0, len(counts) - 1)
+        return np.where(q >= 0, own, -1)
+
+    parts = []
+    for li, v in zip(pr.partition(), own_vals):
+        own_new = new_of_old[li.own_to_global[np.asarray(v) != 0]]
+        gsel = li.ghost_to_global[new_of_old[li.ghost_to_global] >= 0]
+        gown = li.ghost_to_owner[new_of_old[li.ghost_to_global] >= 0]
+        parts.append(
+            LocalIndices(
+                n_new, li.part, li.n_parts, own_new,
+                new_of_old[gsel], gown, global_to_owner=g2owner,
+            )
+        )
+    return _PR(parts), new_of_old
+
+
+def renumber_pvector(x: PVector, backend: Optional[Backend] = None) -> PVector:
+    """Same values on the renumbered partition (parity: renumber,
+    src/p_vector.jl:1509-1525)."""
+    from .parallel.p_range import renumber_partition
+
+    new_pr = PRange(renumber_partition(x.layout.pr.partition()))
+    return pvector_from_own(x.own_values(), new_pr, backend or x.backend)
+
+
 def repartition(x: PVector, new_rows: PRange, backend: Optional[Backend] = None) -> PVector:
     """Redistribute to a new row partition
     (parity: repartition, src/p_vector.jl:1401-1466).  Host-side setup path:

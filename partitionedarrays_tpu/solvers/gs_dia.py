@@ -116,27 +116,24 @@ class ColoredDIAGS:
         return xd.T.reshape(m * Lq)[: self.R]
 
     # -- the sweep -----------------------------------------------------
-    def sweep(
+    def sweep_flat(
         self,
-        xo: jnp.ndarray,
-        bo: jnp.ndarray,
-        ghost_contrib: jnp.ndarray,
+        xflat: jnp.ndarray,
+        bd: jnp.ndarray,
         vals_d: jnp.ndarray,
         invd_d: jnp.ndarray,
         order,
     ) -> jnp.ndarray:
-        """One GS sweep over colors in ``order`` (per-part arrays).
-
-        ghost_contrib[R] = own_ghost @ x_ghost, frozen for the sweep.
-        vals_d [m, n_off, Lq] / invd_d [m, Lq] are per-part table slices.
-        """
+        """One GS sweep over colors in ``order``, entirely in the flat
+        de-interleaved space.  bd [m, Lq] = de-interleaved
+        (b - own_ghost @ x_ghost), frozen for the whole smoother
+        application (reference semantics: consistent! once per smooth,
+        smoothers.jl:104-105)."""
         from .. import config
         from ..ops.dia import dia_spmv
         from ..ops.spmv_pallas import dia_spmv_pallas, dia_spmv_pallas_viable
 
         m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
-        xflat = self.to_flat(self.deinterleave(xo))
-        bd = self.deinterleave(bo - ghost_contrib)
         n_flat = xflat.shape[0]
         use_pallas = config.pallas_enabled() and dia_spmv_pallas_viable(
             (0, self.max_abs_off), Lq, n_flat, xflat.dtype.itemsize
@@ -151,4 +148,19 @@ class ColoredDIAGS:
             xrow = jax.lax.dynamic_slice(xflat, (start,), (Lq,))
             xnew = xrow + (bd[c] - ax) * invd_d[c]
             xflat = jax.lax.dynamic_update_slice(xflat, xnew, (start,))
+        return xflat
+
+    def sweep(
+        self,
+        xo: jnp.ndarray,
+        bo: jnp.ndarray,
+        ghost_contrib: jnp.ndarray,
+        vals_d: jnp.ndarray,
+        invd_d: jnp.ndarray,
+        order,
+    ) -> jnp.ndarray:
+        """Single standalone sweep (converts to/from flat space)."""
+        xflat = self.to_flat(self.deinterleave(xo))
+        bd = self.deinterleave(bo - ghost_contrib)
+        xflat = self.sweep_flat(xflat, bd, vals_d, invd_d, order)
         return self.from_flat(xflat)

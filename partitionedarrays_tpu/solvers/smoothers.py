@@ -180,25 +180,38 @@ class GaussSeidel:
         xg = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=x.own.dtype)
 
         if self.colored is not None:
+            # one ghost exchange per application (reference semantics:
+            # consistent! once per smooth, smoothers.jl:104-105), then all
+            # sweeps run in the flat de-interleaved space — one pair of
+            # layout transposes total.
             col = self.colored
-            for _ in range(self.iterations):
-                for order in orders:
-                    if has_cg:
-                        def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
-                            g = cplan.apply(xo, xg, "set")
-                            gc = oh.spmv(g)
-                            return col.sweep(xo, bo, gc, vals_d, invd_d, order), g
+            iters = self.iterations
 
-                        xo, xg = backend.spmd(f)(
-                            xo, xg, clay.consistent_plan,
-                            col.vals_d, col.invd_d, dev.oh, b.own,
-                        )
-                    else:
-                        def f(xo, vals_d, invd_d, bo):
-                            gc = jnp.zeros_like(bo)
-                            return col.sweep(xo, bo, gc, vals_d, invd_d, order)
+            if has_cg:
+                def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
+                    g = cplan.apply(xo, xg, "set")
+                    gc = oh.spmv(g)
+                    bd = col.deinterleave(bo - gc)
+                    xflat = col.to_flat(col.deinterleave(xo))
+                    for _ in range(iters):
+                        for order in orders:
+                            xflat = col.sweep_flat(xflat, bd, vals_d, invd_d, order)
+                    return col.from_flat(xflat), g
 
-                        xo = backend.spmd(f)(xo, col.vals_d, col.invd_d, b.own)
+                xo, xg = backend.spmd(f)(
+                    xo, xg, clay.consistent_plan,
+                    col.vals_d, col.invd_d, dev.oh, b.own,
+                )
+            else:
+                def f(xo, vals_d, invd_d, bo):
+                    bd = col.deinterleave(bo)
+                    xflat = col.to_flat(col.deinterleave(xo))
+                    for _ in range(iters):
+                        for order in orders:
+                            xflat = col.sweep_flat(xflat, bd, vals_d, invd_d, order)
+                    return col.from_flat(xflat)
+
+                xo = backend.spmd(f)(xo, col.vals_d, col.invd_d, b.own)
             return PVector(xo, x.ghost, x.layout, backend)
 
         for _ in range(self.iterations):
