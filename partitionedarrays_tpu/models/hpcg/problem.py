@@ -20,34 +20,38 @@ def hpcg_triplets_for_box(
     own_gids: np.ndarray, gshape: Tuple[int, int, int], dtype=np.float64
 ):
     """COO triplets of the 27-pt operator restricted to the given rows."""
-    cs = np.stack(np.unravel_index(own_gids, gshape), axis=1)  # [n, 3]
-    Is, Js, Vs = [], [], []
-    row_off_count = np.zeros(own_gids.size, dtype=np.int64)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                if dx == dy == dz == 0:
-                    continue
-                nc = cs + np.array([dx, dy, dz])
-                valid = np.all((nc >= 0) & (nc < np.array(gshape)), axis=1)
-                idx = np.ravel_multi_index(
-                    (
-                        np.clip(nc[:, 0], 0, gshape[0] - 1),
-                        np.clip(nc[:, 1], 0, gshape[1] - 1),
-                        np.clip(nc[:, 2], 0, gshape[2] - 1),
-                    ),
-                    gshape,
-                )
-                Is.append(own_gids[valid])
-                Js.append(idx[valid])
-                Vs.append(np.full(int(valid.sum()), -1.0, dtype=dtype))
-                row_off_count += valid
-    Is.append(own_gids)
-    Js.append(own_gids)
-    Vs.append(np.full(own_gids.size, 26.0, dtype=dtype))
-    I = np.concatenate(Is)
-    J = np.concatenate(Js)
-    V = np.concatenate(Vs)
+    gx, gy, gz = gshape
+    x, y, z = np.unravel_index(own_gids, gshape)
+    # all 26 neighbor offsets at once (broadcast over [26, n])
+    d = np.array(
+        [
+            (dx, dy, dz)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+            if not (dx == dy == dz == 0)
+        ],
+        dtype=np.int64,
+    )
+    xs = x[None, :] + d[:, 0:1]
+    ys = y[None, :] + d[:, 1:2]
+    zs = z[None, :] + d[:, 2:3]
+    valid = (
+        (xs >= 0) & (xs < gx) & (ys >= 0) & (ys < gy) & (zs >= 0) & (zs < gz)
+    )
+    idx = (xs * gy + ys) * gz + zs  # clip-free; masked below
+    row_off_count = valid.sum(axis=0).astype(np.int64)
+    vflat = valid.ravel()
+    I = np.concatenate(
+        [np.broadcast_to(own_gids[None, :], valid.shape).ravel()[vflat], own_gids]
+    )
+    J = np.concatenate([idx.ravel()[vflat], own_gids])
+    V = np.concatenate(
+        [
+            np.full(int(vflat.sum()), -1.0, dtype=dtype),
+            np.full(own_gids.size, 26.0, dtype=dtype),
+        ]
+    )
     # rhs: 26 - number of off-diagonal entries (parity:
     # HPCG/src/sparse_matrix.jl:27-80 — b = 27 - nnz_row)
     b = (26.0 - row_off_count).astype(dtype)

@@ -56,13 +56,12 @@ def stack_dia(
     P = len(blocks)
     n_off = offsets.shape[0]
     out = np.zeros((P, max(n_off, 1), n_rows_pad), dtype=blocks[0].dtype if P else np.float32)
-    pos = {int(o): d for d, o in enumerate(offsets)}
     for p, b in enumerate(blocks):
         coo = b.tocoo()
         if coo.nnz == 0:
             continue
         off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
-        d = np.array([pos[int(o)] for o in off], dtype=np.int64)
+        d = np.searchsorted(offsets, off)  # offsets is sorted by contract
         out[p, d, coo.row] = coo.data
     return out
 

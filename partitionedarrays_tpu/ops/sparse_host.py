@@ -37,9 +37,10 @@ def compresscoo(I, J, V, m: int, n: int, combine="add") -> sp.csr_matrix:
     if not keep.all():
         I, J, V = I[keep], J[keep], V[keep]
     A = sp.coo_matrix((V, (I, J)), shape=(m, n))
-    if combine == "add":
-        A.sum_duplicates()
+    # tocsr() sums duplicate entries itself (scipy docs) — an explicit
+    # coo.sum_duplicates() would add a redundant lexsort over all triplets
     A = A.tocsr()
+    A.sum_duplicates()
     A.sort_indices()
     return A
 

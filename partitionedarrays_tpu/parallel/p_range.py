@@ -51,17 +51,40 @@ class GlobalLookup:
 
     def __init__(self, gids: np.ndarray):
         self.gids = _as1d(gids)
-        self.order = np.argsort(self.gids, kind="stable")
-        self.sorted = self.gids[self.order]
+        n = self.gids.size
+        # fast paths: contiguous ranges (ubiquitous for own ids) avoid any
+        # sort; pre-sorted ids avoid the argsort
+        self.contig = bool(
+            n > 0
+            and self.gids[-1] - self.gids[0] == n - 1
+            and np.all(np.diff(self.gids) == 1)
+        )
+        if self.contig:
+            self.start = int(self.gids[0])
+            self.order = None
+            self.sorted = None
+        else:
+            if n and np.all(np.diff(self.gids) > 0):
+                self.order = None
+                self.sorted = self.gids
+            else:
+                self.order = np.argsort(self.gids, kind="stable")
+                self.sorted = self.gids[self.order]
 
     def __call__(self, queries) -> np.ndarray:
         q = _as1d(queries)
-        if self.sorted.size == 0:
+        n = self.gids.size
+        if n == 0:
             return np.full(q.shape, -1, dtype=INT)
+        if self.contig:
+            rel = q - self.start
+            out = np.where((rel >= 0) & (rel < n) & (q >= 0), rel, -1)
+            return out.astype(INT)
         pos = np.searchsorted(self.sorted, q)
-        pos = np.clip(pos, 0, self.sorted.size - 1)
+        pos[pos >= n] = n - 1
         hit = self.sorted[pos] == q
-        out = np.where(hit, self.order[pos], -1)
+        src = pos if self.order is None else self.order[pos]
+        out = np.where(hit, src, -1)
         out[q < 0] = -1
         return out.astype(INT)
 
