@@ -37,9 +37,9 @@ def compresscoo(I, J, V, m: int, n: int, combine="add") -> sp.csr_matrix:
     if not keep.all():
         I, J, V = I[keep], J[keep], V[keep]
     A = sp.coo_matrix((V, (I, J)), shape=(m, n))
-    # tocsr() sums duplicate entries itself (scipy docs) — an explicit
-    # coo.sum_duplicates() would add a redundant lexsort over all triplets
     A = A.tocsr()
+    # CSR-side canonicalization (per-row) is much cheaper than the COO-side
+    # global lexsort
     A.sum_duplicates()
     A.sort_indices()
     return A

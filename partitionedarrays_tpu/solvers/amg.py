@@ -56,6 +56,11 @@ def aggregate(A: sp.csr_matrix, epsilon: float = 0.0) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     A = A.tocsr()
+    from ..ops.native import vanek_aggregate_native
+
+    native = vanek_aggregate_native(A, epsilon)
+    if native is not None:
+        return native
     d = np.abs(A.diagonal())
     agg = np.full(n, -1, dtype=np.int64)
     # strong neighborhoods (including self)

@@ -32,7 +32,13 @@ from ..pvector import PVector, _apply_own_mask
 
 def greedy_coloring(A: sp.csr_matrix) -> np.ndarray:
     """Greedy graph coloring of the (symmetrized) adjacency of a local
-    sparse matrix; returns color per row."""
+    sparse matrix; returns color per row.  Native C++ fast path with a
+    python fallback."""
+    from ..ops.native import greedy_coloring_native
+
+    native = greedy_coloring_native(A)
+    if native is not None:
+        return native
     n = A.shape[0]
     S = A + A.T
     S = S.tocsr()
