@@ -1,0 +1,155 @@
+"""Fused Pallas kernel: a full colored-DIA Gauss-Seidel sweep sequence in
+ONE kernel launch.
+
+The composition in solvers/gs_dia.py (one Pallas DIA-SpMV per color) pays
+kernel-launch + full-x DMA overhead per color update; a symmetric sweep is
+2*m launches.  This kernel runs the whole color sequence as a
+(steps, segments) grid on one core:
+
+- the flat de-interleaved x lives in a VMEM scratch for the entire call
+  (DMA'd in at the first grid step, out at the last),
+- per-color diagonal values / rhs / inverse diagonal stream through VMEM
+  blocks, routed by a scalar-prefetched color sequence
+  (PrefetchScalarGridSpec dynamic index maps),
+- the per-color static tap schedule sits behind @pl.when branches, so
+  every x access is an aligned window load + static residue slice.
+
+TPU grid iteration is sequential — exactly the GS dependency order: all
+segments of color c complete before the next color starts (segments
+within one color touch disjoint rows of that color).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALIGN = 1024
+
+# x scratch + double-buffered streaming blocks must fit in ~15 MB VMEM
+MAX_X_SCRATCH_BYTES = 11 * 1024 * 1024
+
+
+def _pick_tile(L: int, n_off: int, itemsize: int) -> int:
+    for t in (16384, 8192, 4096, 2048, 1024):
+        if L % t == 0 and n_off * t * itemsize <= 2 * 1024 * 1024:
+            return t
+    return 0
+
+
+def gs_sweep_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bool:
+    return (
+        _pick_tile(Lq, n_off, itemsize) != 0
+        and n_flat * itemsize <= MAX_X_SCRATCH_BYTES
+    )
+
+
+def _kernel(
+    schedule: Tuple[Tuple[int, ...], ...],
+    order: Tuple[int, ...],
+    Lp: int,
+    Kp: int,
+    T: int,
+    n_steps: int,
+    nseg: int,
+    order_ref,  # scalar-prefetch: color per step (drives the index maps)
+    vals_ref,  # VMEM [1, n_off, T] of this step's color
+    bd_ref,  # VMEM [1, T]
+    invd_ref,  # VMEM [1, T]
+    xin_ref,  # ANY (HBM) flat x in
+    xout_ref,  # ANY (HBM) flat x out
+    xs_ref,  # VMEM scratch: flat x, resident across the whole call
+    sem_in,
+    sem_out,
+):
+    step = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((step == 0) & (j == 0))
+    def _load():
+        cp = pltpu.make_async_copy(xin_ref, xs_ref, sem_in)
+        cp.start()
+        cp.wait()
+
+    jT = pl.multiple_of(j * T, T)
+    done = set()
+    for ci, c in enumerate(order):
+        if c in done:
+            continue
+        done.add(c)
+        steps_c = [i for i, cc in enumerate(order) if cc == c]
+        cond = step == steps_c[0]
+        for i in steps_c[1:]:
+            cond = cond | (step == i)
+
+        @pl.when(cond)
+        def _update(c=c):
+            offs = schedule[c]
+            acc = None
+            for d, off in enumerate(offs):
+                q = (off // ALIGN) * ALIGN
+                r = off - q
+                W = xs_ref[pl.ds(jT + q, T + ALIGN)]
+                seg = jax.lax.slice(W, (r,), (r + T,))
+                term = vals_ref[0, d, :] * seg
+                acc = term if acc is None else acc + term
+            base = c * Lp + Kp  # static, 1024-aligned
+            xold = xs_ref[pl.ds(jT + base, T)]
+            xs_ref[pl.ds(jT + base, T)] = (
+                xold + (bd_ref[0, 0] - acc) * invd_ref[0, 0]
+            )
+
+    @pl.when((step == n_steps - 1) & (j == nseg - 1))
+    def _store():
+        cp = pltpu.make_async_copy(xs_ref, xout_ref, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("schedule", "order", "Lp", "Kp")
+)
+def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
+    """Run the color sequence ``order`` of GS updates on the flat
+    de-interleaved x.  vals_d [m, n_off, Lq]; bd/invd_d [m, Lq];
+    xflat [n_flat].  Returns the updated xflat."""
+    m, n_off, Lq = vals_d.shape
+    T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
+    assert T, "gs_sweep_pallas: no valid tile (check viability first)"
+    nseg = Lq // T
+    n_steps = len(order)
+    n_flat = xflat.shape[0]
+    order_arr = jnp.asarray(np.array(order, dtype=np.int32))
+
+    kernel = functools.partial(
+        _kernel, schedule, order, Lp, Kp, T, n_steps, nseg
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps, nseg),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_off, T), lambda s, j, ordr: (ordr[s], 0, j)
+            ),
+            pl.BlockSpec((1, 1, T), lambda s, j, ordr: (ordr[s], 0, j)),
+            pl.BlockSpec((1, 1, T), lambda s, j, ordr: (ordr[s], 0, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n_flat,), vals_d.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_flat,), xflat.dtype),
+    )(order_arr, vals_d, bd[:, None, :], invd_d[:, None, :], xflat)

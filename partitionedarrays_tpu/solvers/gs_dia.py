@@ -60,7 +60,10 @@ class ColoredDIAGS:
         P, n_off, R = vals.shape
         self.R = R
         L = -(-R // m)
-        self.Lq = _round_up(max(L, 1), 1024)  # padded de-interleaved row core
+        # pad the row core so the Pallas color-update kernel gets large
+        # tiles (grid tile must divide Lq; see spmv_pallas._pick_tile)
+        tile = 16384 if L > 32768 else 1024
+        self.Lq = _round_up(max(L, 1), tile)
         Lq = self.Lq
         # max |de-interleaved row shift|
         K = max((abs((c + o) // m) + 1 for o in self.offsets for c in range(m)), default=1)
@@ -148,6 +151,37 @@ class ColoredDIAGS:
             xrow = jax.lax.dynamic_slice(xflat, (start,), (Lq,))
             xnew = xrow + (bd[c] - ax) * invd_d[c]
             xflat = jax.lax.dynamic_update_slice(xflat, xnew, (start,))
+        return xflat
+
+    def sweeps_flat(
+        self,
+        xflat: jnp.ndarray,
+        bd: jnp.ndarray,
+        vals_d: jnp.ndarray,
+        invd_d: jnp.ndarray,
+        order_seq,
+    ) -> jnp.ndarray:
+        """Run a whole color sequence (possibly several sweeps).  Uses the
+        fused single-launch Pallas kernel when viable, else the per-color
+        composition."""
+        from .. import config
+        from ..ops.gs_pallas import gs_sweep_pallas, gs_sweep_pallas_viable
+
+        order_seq = tuple(int(c) for c in order_seq)
+        if config.pallas_enabled() and gs_sweep_pallas_viable(
+            xflat.shape[0], self.Lq, vals_d.shape[1], xflat.dtype.itemsize
+        ):
+            return gs_sweep_pallas(
+                vals_d, bd, invd_d, xflat,
+                schedule=tuple(self.schedule), order=order_seq,
+                Lp=self.Lp, Kp=self.Kp,
+            )
+        m = self.m
+        # split the sequence back into per-sweep chunks of length m
+        for s in range(0, len(order_seq), m):
+            xflat = self.sweep_flat(
+                xflat, bd, vals_d, invd_d, order_seq[s : s + m]
+            )
         return xflat
 
     def sweep(

@@ -192,6 +192,9 @@ class GaussSeidel:
             # layout transposes total.
             col = self.colored
             iters = self.iterations
+            order_seq = [
+                c for _ in range(iters) for order in orders for c in order
+            ]
 
             if has_cg:
                 def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
@@ -199,9 +202,7 @@ class GaussSeidel:
                     gc = oh.spmv(g)
                     bd = col.deinterleave(bo - gc)
                     xflat = col.to_flat(col.deinterleave(xo))
-                    for _ in range(iters):
-                        for order in orders:
-                            xflat = col.sweep_flat(xflat, bd, vals_d, invd_d, order)
+                    xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
                     return col.from_flat(xflat), g
 
                 xo, xg = backend.spmd(f)(
@@ -212,9 +213,7 @@ class GaussSeidel:
                 def f(xo, vals_d, invd_d, bo):
                     bd = col.deinterleave(bo)
                     xflat = col.to_flat(col.deinterleave(xo))
-                    for _ in range(iters):
-                        for order in orders:
-                            xflat = col.sweep_flat(xflat, bd, vals_d, invd_d, order)
+                    xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
                     return col.from_flat(xflat)
 
                 xo = backend.spmd(f)(xo, col.vals_d, col.invd_d, b.own)
