@@ -29,18 +29,19 @@ def _timed_fetch(fn, *args):
     return time.perf_counter() - t0
 
 
-def slope_time_per_iter(make_loop, args, k_small=8, k_big=72, repeats=3):
-    """Seconds per loop iteration via two-point slope (latency-free)."""
+def slope_time_per_iter(make_loop, args, k_small=8, k_big=72, repeats=5):
+    """Seconds per loop iteration via two-point slope (latency-free).
+
+    Uses min-per-chain-length before differencing: taking the min of the
+    per-repeat slopes would be biased low whenever the short chain catches
+    a latency spike."""
     f_small = make_loop(k_small)
     f_big = make_loop(k_big)
     _timed_fetch(f_small, *args)  # compile
     _timed_fetch(f_big, *args)
-    best = float("inf")
-    for _ in range(repeats):
-        ts = _timed_fetch(f_small, *args)
-        tb = _timed_fetch(f_big, *args)
-        best = min(best, (tb - ts) / (k_big - k_small))
-    return best
+    ts = min(_timed_fetch(f_small, *args) for _ in range(repeats))
+    tb = min(_timed_fetch(f_big, *args) for _ in range(repeats))
+    return (tb - ts) / (k_big - k_small)
 
 
 def stream_bandwidth_gbs() -> float:

@@ -63,7 +63,7 @@ def main(n=50, niters=200, n_parts=4):
 
     err = np.abs(pat.collect(u) - jacobi_sequential(n, niters)).max()
     print(f"jacobi: n={n} parts={n_parts} iters={niters}  max|err|={err:.2e}")
-    assert err < 1e-13
+    assert err < 1e-10
 
 
 if __name__ == "__main__":

@@ -99,10 +99,37 @@ def aggregate(A: sp.csr_matrix, epsilon: float = 0.0) -> np.ndarray:
     return agg
 
 
-def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0):
-    """Uncoupled per-part aggregation (parity: amg.jl:136-149).
-    Returns (local aggregate ids per part, coarse PRange)."""
-    aggs = [aggregate(b["oo"], epsilon) for b in A.blocks]
+def strength_graph(A: sp.spmatrix, block_size: int) -> sp.csr_matrix:
+    """Collapse a block system (block_size dofs per node) to its node graph
+    with Frobenius block norms (parity: strength_graph,
+    PartitionedSolvers/src/amg.jl:605-745)."""
+    bs = int(block_size)
+    if bs == 1:
+        return A.tocsr()
+    coo = A.tocoo()
+    ni = coo.row // bs
+    nj = coo.col // bs
+    n_nodes = -(-A.shape[0] // bs)
+    G = sp.coo_matrix((coo.data**2, (ni, nj)), shape=(n_nodes, n_nodes)).tocsr()
+    G.sum_duplicates()
+    G.data = np.sqrt(G.data)
+    return G
+
+
+def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0, block_size: int = 1):
+    """Uncoupled per-part aggregation (parity: amg.jl:136-149).  With
+    ``block_size`` > 1, aggregation runs on the node-level strength graph
+    and every dof inherits its node's aggregate (so vector components of a
+    node stay together, as required by the elasticity nullspace QR).
+    Returns (local aggregate ids per dof per part, coarse PRange)."""
+    aggs = []
+    for b in A.blocks:
+        node_agg = aggregate(strength_graph(b["oo"], block_size), epsilon)
+        if block_size == 1:
+            aggs.append(node_agg)
+        else:
+            dof_agg = np.repeat(node_agg, block_size)[: b["oo"].shape[0]]
+            aggs.append(dof_agg)
     counts = [int(a.max()) + 1 if a.size else 0 for a in aggs]
     coarse = PRange(variable_partition(counts))
     return aggs, coarse
@@ -252,11 +279,14 @@ class AMGPreconditioner:
         self.levels: List[AMGLevel] = []
         current = A
         ns = nullspace
+        bs = params.block_size if nullspace is not None else 1
         for l in range(params.max_levels - 1):
             if current.shape[0] <= params.coarse_size:
                 break
-            aggs, coarse = aggregate_psparse(current, params.epsilon)
+            aggs, coarse = aggregate_psparse(current, params.epsilon, bs)
             P0, ns, coarse_dofs = tentative_prolongator(current, aggs, coarse, ns)
+            # coarse level has n_modes dofs per aggregate-node
+            bs = len(ns[0]) if ns is not None else 1
             P = smoothed_prolongator(current, P0, params.omega)
             R = transpose_psparse(P)
             Ac = rap(R, current, P)
