@@ -196,12 +196,23 @@ class GaussSeidel:
                 c for _ in range(iters) for order in orders for c in order
             ]
 
+            zero_guess = getattr(x, "_zero_guess", False)
+
+            def _flat_x(xo, bo):
+                if zero_guess:
+                    # skip the x de-interleave entirely (parity: the
+                    # zero_guess fast path, smoothers.jl:207-302)
+                    return jnp.zeros(
+                        (col.m * col.Lp + col.Kp,), dtype=bo.dtype
+                    )
+                return col.to_flat(col.deinterleave(xo))
+
             if has_cg:
                 def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
                     g = cplan.apply(xo, xg, "set")
                     gc = oh.spmv(g)
                     bd = col.deinterleave(bo - gc)
-                    xflat = col.to_flat(col.deinterleave(xo))
+                    xflat = _flat_x(xo, bo)
                     xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
                     return col.from_flat(xflat), g
 
@@ -212,7 +223,7 @@ class GaussSeidel:
             else:
                 def f(xo, vals_d, invd_d, bo):
                     bd = col.deinterleave(bo)
-                    xflat = col.to_flat(col.deinterleave(xo))
+                    xflat = _flat_x(xo, bo)
                     xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
                     return col.from_flat(xflat)
 
@@ -249,6 +260,7 @@ class GaussSeidel:
     def __call__(self, r: PVector) -> PVector:
         """Preconditioner form: approximately solve A z = r from z = 0."""
         z = PVector(jnp.zeros_like(r.own), r.ghost * 0, r.layout, r.backend)
+        z._zero_guess = True
         return self.apply(z, r)
 
 
