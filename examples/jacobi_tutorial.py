@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import partitionedarrays_tpu as pat

@@ -42,6 +42,25 @@ class Backend:
     def spmd(self, f: Callable) -> Callable:
         raise NotImplementedError
 
+    def spmd_cached(self, key, make_f: Callable[[], Callable]) -> Callable:
+        """Memoized, jitted SPMD wrapper.
+
+        Library entry points create closures per call; without caching,
+        every *eager* invocation would rebuild (and recompile) the mapped
+        computation.  ``key`` must capture everything static the closure
+        bakes in (objects hash by identity and are kept alive by the
+        cache).  Under an outer jit the wrapper is inlined as usual.
+        """
+        cache = getattr(self, "_spmd_cache", None)
+        if cache is None:
+            cache = {}
+            self._spmd_cache = cache
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(self.spmd(make_f()))
+            cache[key] = fn
+        return fn
+
     def shard(self, tree):
         """Place stacked arrays on the backend's devices (no-op on serial)."""
         return tree

@@ -590,28 +590,37 @@ def spmv(A: PSparseMatrix, x: PVector, alpha=1.0) -> PVector:
 
     if A.assembled:
         if has_cg:
-            def f(xo, xg, cplan, oo, oh):
-                g = cplan.apply(xo, xg, "set")
-                return oo.spmv(xo) + oh.spmv(g)
+            def make_f():
+                def f(xo, xg, cplan, oo, oh):
+                    g = cplan.apply(xo, xg, "set")
+                    return oo.spmv(xo) + oh.spmv(g)
 
-            y_own = backend.spmd(f)(
+                return f
+
+            y_own = backend.spmd_cached(("spmv_cg",), make_f)(
                 x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh
             )
         else:
-            def f(xo, oo):
-                return oo.spmv(xo)
+            def make_f():
+                def f(xo, oo):
+                    return oo.spmv(xo)
 
-            y_own = backend.spmd(f)(x.own, dev.oo)
+                return f
+
+            y_own = backend.spmd_cached(("spmv",), make_f)(x.own, dev.oo)
         y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
     else:
-        def f(xo, xg, cplan, rplan, oo, oh, ho, hh):
-            g = cplan.apply(xo, xg, "set") if has_cg else xg
-            yo = oo.spmv(xo) + oh.spmv(g)
-            yg = ho.spmv(xo) + hh.spmv(g)
-            yo = rplan.apply(yg, yo, "add")
-            return yo
+        def make_f(has_cg=has_cg):
+            def f(xo, xg, cplan, rplan, oo, oh, ho, hh):
+                g = cplan.apply(xo, xg, "set") if has_cg else xg
+                yo = oo.spmv(xo) + oh.spmv(g)
+                yg = ho.spmv(xo) + hh.spmv(g)
+                yo = rplan.apply(yg, yo, "add")
+                return yo
 
-        y_own = backend.spmd(f)(
+            return f
+
+        y_own = backend.spmd_cached(("spmv_sub", has_cg), make_f)(
             x.own, x.ghost, clay.consistent_plan, rlay.assemble_plan,
             dev.oo, dev.oh, dev.ho, dev.hh,
         )
@@ -632,18 +641,26 @@ def spmtv(A: PSparseMatrix, x: PVector) -> PVector:
     has_cg = clay.n_ghost_pad > 0 and clay.assemble_plan.n_rounds > 0
 
     if has_cg:
-        def f(xo, aplan, ooT, ohT):
-            yo = ooT.spmv(xo)
-            yg = ohT.spmv(xo)
-            yo = aplan.apply(yg, yo, "add")
-            return yo
+        def make_f():
+            def f(xo, aplan, ooT, ohT):
+                yo = ooT.spmv(xo)
+                yg = ohT.spmv(xo)
+                yo = aplan.apply(yg, yo, "add")
+                return yo
 
-        y_own = backend.spmd(f)(x.own, clay.assemble_plan, ooT, ohT)
+            return f
+
+        y_own = backend.spmd_cached(("spmtv_cg",), make_f)(
+            x.own, clay.assemble_plan, ooT, ohT
+        )
     else:
-        def f(xo, ooT):
-            return ooT.spmv(xo)
+        def make_f():
+            def f(xo, ooT):
+                return ooT.spmv(xo)
 
-        y_own = backend.spmd(f)(x.own, ooT)
+            return f
+
+        y_own = backend.spmd_cached(("spmtv",), make_f)(x.own, ooT)
     y_ghost = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=y_own.dtype)
     return PVector(y_own, y_ghost, clay, backend)
 

@@ -343,12 +343,16 @@ def pvector(
 # ---------------------------------------------------------------------------
 
 def _consistent_vals(backend: Backend, plan, own, ghost):
-    f = backend.spmd(lambda o, g, pl: pl.apply(o, g, "set"))
+    f = backend.spmd_cached(
+        ("consistent",), lambda: (lambda o, g, pl: pl.apply(o, g, "set"))
+    )
     return f(own, ghost, plan)
 
 
 def _assemble_vals(backend: Backend, plan, own, ghost):
-    f = backend.spmd(lambda o, g, pl: pl.apply(g, o, "add"))
+    f = backend.spmd_cached(
+        ("assemble",), lambda: (lambda o, g, pl: pl.apply(g, o, "add"))
+    )
     return f(own, ghost, plan)
 
 
@@ -378,16 +382,17 @@ def assemble(v: PVector) -> Task:
 # reductions / linear algebra
 # ---------------------------------------------------------------------------
 
-def _psum_scalar(backend: Backend, per_part):
+def _psum_scalar(backend: Backend, key: str, per_part):
     """per_part: per-part fn returning a scalar; result: replicated [P]."""
-    f = backend.spmd(lambda *a: jax.lax.psum(per_part(*a), "parts"))
-    return f
+    return backend.spmd_cached(
+        ("reduce", key), lambda: (lambda *a: jax.lax.psum(per_part(*a), "parts"))
+    )
 
 
 def pdot(x: PVector, y: PVector):
     """Global dot product over own values (parity: dot,
     src/p_vector.jl:1189-1192).  Returns a scalar (0-d jnp array)."""
-    f = _psum_scalar(x.backend, lambda a, b: jnp.vdot(a, b))
+    f = _psum_scalar(x.backend, "dot", lambda a, b: jnp.vdot(a, b))
     return f(x.own, y.own)[0]
 
 
@@ -397,35 +402,45 @@ def pnorm(x: PVector):
 
 
 def psum_reduce(x: PVector):
-    f = _psum_scalar(x.backend, lambda a: jnp.sum(a))
+    f = _psum_scalar(x.backend, "sum", lambda a: jnp.sum(a))
     return f(x.own)[0]
 
 
 def pmaximum(x: PVector):
     m = _own_mask(x.layout)
     vals = jnp.where(m, x.own, -jnp.inf)
-    f = x.backend.spmd(lambda a: jax.lax.pmax(jnp.max(a), "parts"))
+    f = x.backend.spmd_cached(
+        ("reduce", "max"), lambda: (lambda a: jax.lax.pmax(jnp.max(a), "parts"))
+    )
     return f(vals)[0]
 
 
 def pminimum(x: PVector):
     m = _own_mask(x.layout)
     vals = jnp.where(m, x.own, jnp.inf)
-    f = x.backend.spmd(lambda a: jax.lax.pmin(jnp.min(a), "parts"))
+    f = x.backend.spmd_cached(
+        ("reduce", "min"), lambda: (lambda a: jax.lax.pmin(jnp.min(a), "parts"))
+    )
     return f(vals)[0]
 
 
 def pany(x: PVector, pred=lambda v: v != 0):
     m = _own_mask(x.layout)
     vals = jnp.where(m, pred(x.own), False)
-    f = x.backend.spmd(lambda a: jax.lax.pmax(jnp.max(a.astype(jnp.int32)), "parts"))
+    f = x.backend.spmd_cached(
+        ("reduce", "any"),
+        lambda: (lambda a: jax.lax.pmax(jnp.max(a.astype(jnp.int32)), "parts")),
+    )
     return f(vals)[0] > 0
 
 
 def pall(x: PVector, pred=lambda v: v != 0):
     m = _own_mask(x.layout)
     vals = jnp.where(m, pred(x.own), True)
-    f = x.backend.spmd(lambda a: jax.lax.pmin(jnp.min(a.astype(jnp.int32)), "parts"))
+    f = x.backend.spmd_cached(
+        ("reduce", "all"),
+        lambda: (lambda a: jax.lax.pmin(jnp.min(a.astype(jnp.int32)), "parts")),
+    )
     return f(vals)[0] > 0
 
 
@@ -458,15 +473,17 @@ def psqeuclidean(x: PVector, y: PVector):
 
 
 def pcityblock(x: PVector, y: PVector):
-    f = x.backend.spmd(
-        lambda a, b: jax.lax.psum(jnp.sum(jnp.abs(a - b)), "parts")
+    f = x.backend.spmd_cached(
+        ("reduce", "cityblock"),
+        lambda: (lambda a, b: jax.lax.psum(jnp.sum(jnp.abs(a - b)), "parts")),
     )
     return f(x.own, y.own)[0]
 
 
 def pchebyshev(x: PVector, y: PVector):
-    f = x.backend.spmd(
-        lambda a, b: jax.lax.pmax(jnp.max(jnp.abs(a - b)), "parts")
+    f = x.backend.spmd_cached(
+        ("reduce", "chebyshev"),
+        lambda: (lambda a, b: jax.lax.pmax(jnp.max(jnp.abs(a - b)), "parts")),
     )
     return f(x.own, y.own)[0]
 

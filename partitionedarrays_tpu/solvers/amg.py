@@ -320,16 +320,21 @@ class AMGPreconditioner:
         g2g_dev = self.coarse_gids
         Vinv = self.coarse_inv.astype(b.own.dtype)
 
-        def f(bo, gids):
-            full = jax.lax.all_gather(bo, AXIS)  # [P, n_own_pad]
-            allg = jax.lax.all_gather(gids, AXIS)
-            flat = jnp.zeros((n,), full.dtype).at[allg.reshape(-1)].set(
-                full.reshape(-1), mode="drop"
-            )
-            z = Vinv @ flat
-            return jnp.take(z, gids, mode="fill", fill_value=0)
+        def make_f(n=n, Vinv=Vinv):
+            def f(bo, gids):
+                full = jax.lax.all_gather(bo, AXIS)  # [P, n_own_pad]
+                allg = jax.lax.all_gather(gids, AXIS)
+                flat = jnp.zeros((n,), full.dtype).at[allg.reshape(-1)].set(
+                    full.reshape(-1), mode="drop"
+                )
+                z = Vinv @ flat
+                return jnp.take(z, gids, mode="fill", fill_value=0)
 
-        own = self.backend.spmd(f)(b.own, g2g_dev)
+            return f
+
+        own = self.backend.spmd_cached(("amg_coarse", self, b.own.dtype), make_f)(
+            b.own, g2g_dev
+        )
         return PVector(own, jnp.zeros_like(b.ghost), lay, b.backend)
 
     # -- cycle ---------------------------------------------------------

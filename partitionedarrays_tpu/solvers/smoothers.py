@@ -207,51 +207,69 @@ class GaussSeidel:
                     )
                 return col.to_flat(col.deinterleave(xo))
 
+            key_base = (
+                "gs_colored", col, tuple(order_seq), zero_guess, has_cg
+            )
             if has_cg:
-                def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
-                    g = cplan.apply(xo, xg, "set")
-                    gc = oh.spmv(g)
-                    bd = col.deinterleave(bo - gc)
-                    xflat = _flat_x(xo, bo)
-                    xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
-                    return col.from_flat(xflat), g
+                def make_f():
+                    def f(xo, xg, cplan, vals_d, invd_d, oh, bo):
+                        g = cplan.apply(xo, xg, "set")
+                        gc = oh.spmv(g)
+                        bd = col.deinterleave(bo - gc)
+                        xflat = _flat_x(xo, bo)
+                        xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
+                        return col.from_flat(xflat), g
 
-                xo, xg = backend.spmd(f)(
+                    return f
+
+                xo, xg = backend.spmd_cached(key_base, make_f)(
                     xo, xg, clay.consistent_plan,
                     col.vals_d, col.invd_d, dev.oh, b.own,
                 )
             else:
-                def f(xo, vals_d, invd_d, bo):
-                    bd = col.deinterleave(bo)
-                    xflat = _flat_x(xo, bo)
-                    xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
-                    return col.from_flat(xflat)
+                def make_f():
+                    def f(xo, vals_d, invd_d, bo):
+                        bd = col.deinterleave(bo)
+                        xflat = _flat_x(xo, bo)
+                        xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
+                        return col.from_flat(xflat)
 
-                xo = backend.spmd(f)(xo, col.vals_d, col.invd_d, b.own)
+                    return f
+
+                xo = backend.spmd_cached(key_base, make_f)(
+                    xo, col.vals_d, col.invd_d, b.own
+                )
             return PVector(xo, x.ghost, x.layout, backend)
 
         for _ in range(self.iterations):
             for order in orders:
+                key = ("gs_masked", self, tuple(order), has_cg)
                 if has_cg:
-                    def f(xo, xg, cplan, colors, invd, dg, oo, oh, bo):
-                        g = cplan.apply(xo, xg, "set")
-                        xo2 = self._sweep_once(
-                            xo, g, colors, invd, dg, oo, oh, bo, order
-                        )
-                        return xo2, g
+                    def make_f(order=order):
+                        def f(xo, xg, cplan, colors, invd, dg, oo, oh, bo):
+                            g = cplan.apply(xo, xg, "set")
+                            xo2 = self._sweep_once(
+                                xo, g, colors, invd, dg, oo, oh, bo, order
+                            )
+                            return xo2, g
 
-                    xo, xg = backend.spmd(f)(
+                        return f
+
+                    xo, xg = backend.spmd_cached(key, make_f)(
                         xo, xg, clay.consistent_plan,
                         self.colors, self.inv_diag, self.diag,
                         dev.oo, dev.oh, b.own,
                     )
                 else:
-                    def f(xo, xg, colors, invd, dg, oo, oh, bo):
-                        return self._sweep_once(
-                            xo, xg, colors, invd, dg, oo, oh, bo, order
-                        )
+                    def make_f(order=order):
+                        def f(xo, xg, colors, invd, dg, oo, oh, bo):
+                            return self._sweep_once(
+                                xo, xg, colors, invd, dg, oo, oh, bo, order
+                            )
 
-                    xo = backend.spmd(f)(
+                        return f
+
+                    xo = backend.spmd_cached(key, make_f)(
                         xo, xg, self.colors, self.inv_diag, self.diag,
                         dev.oo, dev.oh, b.own,
                     )
@@ -312,10 +330,11 @@ class AdditiveSchwarz:
             return self.local_solver(r)
         backend = r.backend
 
-        def f(lu, piv, ro):
-            return jax.scipy.linalg.lu_solve((lu, piv), ro)
-
-        own = backend.spmd(f)(self.lu, self.piv, r.own)
+        f = backend.spmd_cached(
+            ("schwarz_lu",),
+            lambda: (lambda lu, piv, ro: jax.scipy.linalg.lu_solve((lu, piv), ro)),
+        )
+        own = f(self.lu, self.piv, r.own)
         own = _apply_own_mask(own, r.layout)
         return PVector(own, jnp.zeros_like(r.ghost), r.layout, backend)
 
