@@ -64,18 +64,33 @@ def stream_bandwidth_gbs() -> float:
     return 2 * n * 4 / dt / 1e9  # read + write per iteration
 
 
+_MG = None
+
+
+def _get_mg():
+    """Build the 128^3 4-level MG hierarchy once; both benches reuse it."""
+    global _MG
+    if _MG is None:
+        from partitionedarrays_tpu.backends import SerialBackend
+        from partitionedarrays_tpu.models.hpcg.mg import HPCGMGPreconditioner
+
+        _MG = HPCGMGPreconditioner(
+            (128, 128, 128), (1, 1, 1), SerialBackend(1), n_levels=4,
+            dtype=np.float32,
+        )
+    return _MG
+
+
 def spmv_bench():
     import jax
     import jax.numpy as jnp
 
-    from partitionedarrays_tpu.backends import SerialBackend
-    from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
     from partitionedarrays_tpu.psparse import spmv
     from partitionedarrays_tpu.pvector import PVector
 
-    backend = SerialBackend(1)
-    local = (128, 128, 128)
-    A, b = build_hpcg_problem(local, (1, 1, 1), backend, dtype=np.float32)
+    mg = _get_mg()
+    A, b = mg.A, mg.b
+    backend = A.backend
     rlay = A.row_layout()
     dev = A.device()  # freeze ELL
     nnz = A.nnz()
@@ -105,11 +120,10 @@ def spmv_bench():
 
 
 def hpcg_rating():
-    from partitionedarrays_tpu.backends import SerialBackend
     from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
 
     report = hpcg_benchmark(
-        SerialBackend(1),
+        None,
         local_shape=(128, 128, 128),
         parts_per_dir=(1, 1, 1),
         n_levels=4,
@@ -117,6 +131,7 @@ def hpcg_rating():
         ref_sets=1,
         timed_sets=3,
         dtype=np.float32,
+        mg=_get_mg(),
     )
     s = report.summary()
     return s["GFLOPs"]["raw"], s["GBs_model"], s["final_relres"]

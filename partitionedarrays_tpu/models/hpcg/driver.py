@@ -34,15 +34,17 @@ def hpcg_benchmark(
     total_runtime: Optional[float] = None,
     dtype=np.float32,
     verbose: bool = False,
+    mg: Optional[HPCGMGPreconditioner] = None,
 ) -> HPCGReport:
     import jax
 
     if parts_per_dir is None:
         parts_per_dir = compute_optimal_shape_xyz(backend.n_parts)
     t0 = time.perf_counter()
-    mg = HPCGMGPreconditioner(
-        local_shape, parts_per_dir, backend, n_levels=n_levels, dtype=dtype
-    )
+    if mg is None:
+        mg = HPCGMGPreconditioner(
+            local_shape, parts_per_dir, backend, n_levels=n_levels, dtype=dtype
+        )
     A, b = mg.A, mg.b
 
     @jax.jit

@@ -192,6 +192,37 @@ def vector_exchange_plans(pr: PRange) -> Tuple[ExchangePlan, ExchangePlan]:
     return assemble_plan, consistent_plan
 
 
+def repartition_plan(pr_from: PRange, pr_to: PRange) -> ExchangePlan:
+    """Static plan moving OWN values between two partitions of the same
+    global range (the device path of ``repartition``; parity: repartition!,
+    src/p_vector.jl:1401-1466 — re-designed as a pre-compiled exchange
+    instead of a runtime redistribution)."""
+    from .p_range import find_owner
+
+    assert pr_from.n_global == pr_to.n_global
+    P = pr_from.n_parts
+    edges: List[Tuple[int, int]] = []
+    src_lists: List[np.ndarray] = []
+    dst_lists: List[np.ndarray] = []
+    for li_to in pr_to.partition():
+        gids = li_to.own_to_global
+        owners = find_owner(pr_from.partition(), [gids])[0]
+        order = np.argsort(owners, kind="stable")
+        owners_s = owners[order]
+        cuts = np.flatnonzero(np.diff(owners_s)) + 1
+        for grp in np.split(np.arange(owners_s.size), cuts):
+            if grp.size == 0:
+                continue
+            src = int(owners_s[grp[0]])
+            g = gids[order[grp]]
+            src_pos = pr_from[src].global_to_own(g)
+            assert (src_pos >= 0).all()
+            edges.append((src, li_to.part))
+            src_lists.append(src_pos)
+            dst_lists.append(order[grp].astype(np.int64))
+    return _build_plan(P, edges, src_lists, dst_lists)
+
+
 @jax.tree_util.register_pytree_node_class
 class VectorLayout:
     """Frozen device-facing layout of a partitioned vector.

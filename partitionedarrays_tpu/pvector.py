@@ -537,10 +537,27 @@ def renumber_pvector(x: PVector, backend: Optional[Backend] = None) -> PVector:
 
 def repartition(x: PVector, new_rows: PRange, backend: Optional[Backend] = None) -> PVector:
     """Redistribute to a new row partition
-    (parity: repartition, src/p_vector.jl:1401-1466).  Host-side setup path:
-    values move through the global host vector; for the device-resident
-    fast path at fixed partitions, build a dedicated ExchangePlan instead."""
+    (parity: repartition, src/p_vector.jl:1401-1466).  Device-resident:
+    the (old partition -> new partition) exchange is a static plan built
+    once and cached, so repeated repartitions at fixed partitions are a
+    pure compiled exchange."""
+    from .parallel.exchange_plan import repartition_plan
+
     backend = backend or x.backend
-    g = collect(x)
-    parts = [g[li.own_to_global] for li in new_rows.partition()]
-    return pvector_from_own(parts, new_rows, backend)
+    pr_from = x.layout.pr
+    cache = getattr(pr_from, "_repartition_plans", None)
+    if cache is None:
+        cache = {}
+        pr_from._repartition_plans = cache
+    plan = cache.get(new_rows)
+    if plan is None:
+        plan = repartition_plan(pr_from, new_rows)
+        cache[new_rows] = plan
+    lay_to = _layout_cache(new_rows)
+    own_to = jnp.zeros((lay_to.n_parts, lay_to.n_own_pad), dtype=x.own.dtype)
+    f = backend.spmd_cached(
+        ("repartition",), lambda: (lambda src, dst, pl: pl.apply(src, dst, "set"))
+    )
+    own_to = f(x.own, own_to, plan)
+    ghost = jnp.zeros((lay_to.n_parts, lay_to.n_ghost_pad), dtype=x.own.dtype)
+    return PVector(own_to, ghost, lay_to, backend)
