@@ -24,10 +24,19 @@ from .backends import (
 from .config import pallas_enabled
 
 # -- local storage & sparse kernels (L2) ------------------------------------
-from .ops.jagged import JaggedArray, jagged_array, length_to_ptrs, ptrs_to_lengths
+from .ops.jagged import (
+    GenericJaggedArray,
+    JaggedArray,
+    jagged_array,
+    length_to_ptrs,
+    ptrs_to_lengths,
+    rewind_ptrs,
+)
 from .ops.sparse_host import (
     compresscoo,
+    indextype,
     nzindex,
+    nziterator,
     precompute_nzindex,
     sparse_matrix,
     sparse_matrix_refill,
@@ -41,7 +50,12 @@ from .ops.ell import csr_to_ell, ell_spmv
 
 # -- communication primitives (L3) ------------------------------------------
 from .parallel.primitives import (
+    MAIN,
     ExchangeGraph,
+    allocate_emit,
+    emit,
+    find_rcv_ids_gather_scatter,
+    find_rcv_ids_ibarrier,
     FakeTask,
     allocate_exchange,
     allocate_gather,
@@ -69,8 +83,18 @@ from .parallel.p_range import (
     AssemblyGraph,
     LocalIndices,
     PRange,
+    assembly_local_indices,
     assembly_neighbors,
     block_owner_1d,
+    ghost_length,
+    global_length,
+    local_length,
+    local_permutation,
+    map_ghost_to_global,
+    map_global_to_ghost,
+    own_and_ghost_indices,
+    own_length,
+    permute_indices,
     find_owner,
     ghost_to_global,
     ghost_to_local,
@@ -135,6 +159,9 @@ from .pvector import (
     pvector,
     pvector_from_local,
     pvector_from_own,
+    pvector_from_split_blocks,
+    split_vector,
+    split_vector_blocks,
     pzeros,
     renumber_pvector,
     repartition,
@@ -156,6 +183,9 @@ from .psparse import (
     renumber_matrix,
     repartition_matrix,
     sparse_diag_matrix,
+    split_format,
+    split_matrix,
+    split_matrix_blocks,
     spmm,
     spmtm,
     spmtv,
@@ -225,6 +255,7 @@ from .models.gallery import (
     laplacian_fem,
     linear_elasticity_fem,
     node_coordinates_unit_cube,
+    near_nullspace_linear_elasticity,
     node_to_dof_partition,
     nullspace_linear_elasticity,
 )

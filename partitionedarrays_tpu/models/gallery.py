@@ -315,3 +315,7 @@ def nullspace_linear_elasticity(
             B[5, :, 2] = xs[:, 0]
         modes_parts.append([B[m].ravel() for m in range(n_modes)])
     return modes_parts
+
+
+# parity alias (src/gallery.jl: near_nullspace_linear_elasticity)
+near_nullspace_linear_elasticity = nullspace_linear_elasticity

@@ -99,6 +99,20 @@ class JaggedArray:
         return f"JaggedArray([{inner}])"
 
 
+def rewind_ptrs(ptrs) -> np.ndarray:
+    """Shift offsets back after a fill pass (parity: rewind_ptrs!,
+    src/jagged_array.jl:26)."""
+    ptrs = np.asarray(ptrs)
+    out = np.empty_like(ptrs)
+    out[1:] = ptrs[:-1]
+    out[0] = 0
+    return out
+
+
 def jagged_array(data, ptrs) -> JaggedArray:
     """Parity alias (src/jagged_array.jl:195)."""
     return JaggedArray(data, ptrs)
+
+
+# parity alias: the reference distinguishes a generic-container variant
+GenericJaggedArray = JaggedArray

@@ -45,6 +45,19 @@ def compresscoo(I, J, V, m: int, n: int, combine="add") -> sp.csr_matrix:
     return A
 
 
+def nziterator(A: sp.spmatrix):
+    """Yield (i, j, v) over stored entries
+    (parity: nziterator, src/sparse_utils.jl:24-125)."""
+    coo = A.tocoo()
+    for i, j, v in zip(coo.row, coo.col, coo.data):
+        yield int(i), int(j), v
+
+
+def indextype(A: sp.spmatrix):
+    """Parity: indextype (src/sparse_utils.jl:8-12)."""
+    return A.tocsr().indices.dtype
+
+
 def nzindex(A: sp.csr_matrix, i: int, j: int) -> int:
     """Position of entry (i, j) in A's nonzero storage; -1 if not stored.
 

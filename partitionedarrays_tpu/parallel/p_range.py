@@ -758,6 +758,74 @@ def trivial_partition(n_parts: int, n_global: int, main: int = 0) -> List[LocalI
     ]
 
 
+# -- small parity helpers ---------------------------------------------------
+
+def own_length(li: LocalIndices) -> int:
+    return li.n_own
+
+
+def ghost_length(li: LocalIndices) -> int:
+    return li.n_ghost
+
+
+def local_length(li: LocalIndices) -> int:
+    return li.n_local
+
+
+def global_length(li: LocalIndices) -> int:
+    return li.n_global
+
+
+def local_permutation(li: LocalIndices) -> np.ndarray:
+    return li.local_permutation()
+
+
+def permute_indices(li: LocalIndices, perm) -> LocalIndices:
+    """New LocalIndices with the given local permutation
+    (parity: permute_indices / PermutedLocalIndices,
+    src/p_range.jl:1372-1469)."""
+    return LocalIndices(
+        li.n_global, li.part, li.n_parts,
+        li.own_to_global, li.ghost_to_global, li.ghost_to_owner,
+        perm=_as1d(perm), global_to_owner=li.global_to_owner,
+    )
+
+
+def own_and_ghost_indices(
+    n_global: int, part: int, n_parts: int, own_gids, ghost_gids=(),
+    ghost_owners=(), global_to_owner=None,
+) -> LocalIndices:
+    """Parity constructor: OwnAndGhostIndices (src/p_range.jl:1231-1370)."""
+    return LocalIndices(
+        n_global, part, n_parts, own_gids, ghost_gids, ghost_owners,
+        global_to_owner=global_to_owner,
+    )
+
+
+def map_ghost_to_global(ghost_ids, li: LocalIndices) -> np.ndarray:
+    g = _as1d(ghost_ids)
+    out = np.where(g >= 0, li.ghost_to_global[np.clip(g, 0, None)], -1)
+    return out.astype(INT)
+
+
+def map_global_to_ghost(gids, li: LocalIndices) -> np.ndarray:
+    return li.global_to_ghost(gids)
+
+
+def assembly_local_indices(partition_or_prange):
+    """Per-part, per-neighbor local index lists: (snd_neighbors,
+    snd_ghost_local_ids, rcv_neighbors, rcv_own_local_ids)
+    (parity: assembly_local_indices, src/p_range.jl:466-531; our snd side
+    is in ghost-local numbering, matching the split storage)."""
+    pr = (
+        partition_or_prange
+        if isinstance(partition_or_prange, PRange)
+        else PRange(partition_or_prange)
+    )
+    g = pr.assembly_graph()
+    return g.neighbors_snd, g.snd_ghost, g.neighbors_rcv, g.rcv_own
+
+
 def renumber_partition(part: Sequence[LocalIndices]) -> List[LocalIndices]:
     """Relabel global ids so each part's own ids are consecutive
     (parity: renumber_partition, src/p_range.jl:782-804).  Ghosts are kept

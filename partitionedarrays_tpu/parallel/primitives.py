@@ -235,6 +235,14 @@ def exchange(
     return fake_async(run)
 
 
+# parity aliases: emit == multicast (deprecated reference name), and both
+# graph-transpose discovery algorithms collapse to the host-global transpose
+emit = multicast
+allocate_emit = multicast
+find_rcv_ids_gather_scatter = find_rcv_ids
+find_rcv_ids_ibarrier = find_rcv_ids
+
+
 def allocate_exchange(graph: ExchangeGraph, lengths_snd: Sequence[Sequence[int]]):
     """Preallocated receive buffers (parity: allocate_exchange,
     src/primitives.jl:945-1002)."""

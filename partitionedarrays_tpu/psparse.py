@@ -748,6 +748,26 @@ def repartition_matrix(
     return psparse_from_global(G, as_prange(new_rows), as_prange(new_cols), backend or A.backend)
 
 
+def split_format(A: PSparseMatrix) -> PSparseMatrix:
+    """Parity: split_format (src/p_sparse_matrix.jl:1097-1114) — storage
+    here is always split; returns A."""
+    return A
+
+
+def split_matrix_blocks(A: PSparseMatrix):
+    """(own_own, own_ghost, ghost_own, ghost_ghost) per-part host blocks
+    (parity: split_matrix_blocks, src/p_sparse_matrix.jl:582-668)."""
+    return (
+        A.own_own_values(),
+        A.own_ghost_values(),
+        A.ghost_own_values(),
+        A.ghost_ghost_values(),
+    )
+
+
+split_matrix = split_format  # parity alias
+
+
 def renumber_matrix(A: PSparseMatrix) -> PSparseMatrix:
     """Same matrix on the renumbered (contiguous-own) partitions
     (parity: renumber, src/p_sparse_matrix.jl:2595-2622)."""

@@ -460,6 +460,24 @@ def collect(x: PVector) -> np.ndarray:
     return out
 
 
+def split_vector_blocks(x: PVector):
+    """(own, ghost) stacked blocks (parity: split_vector_blocks,
+    src/p_vector.jl:120-265)."""
+    return x.own, x.ghost
+
+
+def split_vector(x: PVector) -> PVector:
+    """Parity: split_vector — our storage is always split."""
+    return x
+
+
+def pvector_from_split_blocks(own, ghost, pr: PRange, backend: Backend) -> PVector:
+    """Build directly from stacked (own, ghost) device blocks
+    (parity: pvector_from_split_blocks, src/p_vector.jl:1010-1014)."""
+    lay = _layout_cache(pr)
+    return PVector(own, ghost, lay, backend)
+
+
 def peuclidean(x: PVector, y: PVector):
     """Euclidean distance (parity: the Distances.jl metrics support,
     src/p_vector.jl:1279-1319)."""
