@@ -38,6 +38,13 @@ def hpcg_benchmark(
 ) -> HPCGReport:
     import jax
 
+    if backend is None and mg is None:
+        # convenience default: one serial part per requested box
+        from ...backends import SerialBackend
+
+        backend = SerialBackend(
+            int(np.prod(parts_per_dir)) if parts_per_dir is not None else 1
+        )
     if parts_per_dir is None:
         parts_per_dir = compute_optimal_shape_xyz(backend.n_parts)
     t0 = time.perf_counter()

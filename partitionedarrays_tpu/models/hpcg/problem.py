@@ -58,23 +58,51 @@ def hpcg_triplets_for_box(
     return I, J, V, b
 
 
+STENCIL_27PT = [
+    ((dx, dy, dz), 26.0 if dx == dy == dz == 0 else -1.0)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+]
+
+
 def build_hpcg_problem(
     local_shape: Sequence[int],
     parts_per_dir: Sequence[int],
     backend,
     dtype=np.float64,
+    structured: bool = True,
 ):
     """Build the distributed 27-pt matrix and rhs.
 
-    Returns (A, b, x_exact_ones_rhs_consistent=None).  Parity:
-    build_p_matrix (HPCG/src/sparse_matrix.jl:105-122).
+    Parity: build_p_matrix (HPCG/src/sparse_matrix.jl:105-122).
+    ``structured=True`` (default) emits the operator in closed form
+    (ops/stencil.py) — identical result to the generic triplet pipeline
+    (``structured=False``, kept for cross-validation in tests), minus
+    minutes of setup at benchmark scales.
     """
-    from ...psparse import psparse
     from ...pvector import pvector_from_own
 
     nx, ny, nz = (int(v) for v in local_shape)
     px, py, pz = (int(v) for v in parts_per_dir)
     gshape = (px * nx, py * ny, pz * nz)
+
+    if structured:
+        from ...ops.stencil import stencil_psparse, stencil_rhs_counts
+
+        A = stencil_psparse(
+            (px, py, pz), gshape, STENCIL_27PT, backend, dtype=dtype
+        )
+        offdiag = [d for d, _ in STENCIL_27PT if d != (0, 0, 0)]
+        bs = [
+            (26.0 - c).astype(dtype)
+            for c in stencil_rhs_counts((px, py, pz), gshape, offdiag)
+        ]
+        b = pvector_from_own(bs, A.row_prange, backend, dtype=dtype)
+        return A, b
+
+    from ...psparse import psparse
+
     node_partition = uniform_partition((px, py, pz), gshape)
     pr = PRange(node_partition)
     Is, Js, Vs, bs = [], [], [], []

@@ -128,6 +128,10 @@ class PSparseMatrix:
         self.assembled = assembled
         self._device: Optional[DeviceSpMat] = None
         self._device_T = None
+        # optional closed-form caches set by structured constructors
+        # (ops/stencil.py): exact nnz, host copy of the own_own DIA values
+        self._nnz_cache: Optional[int] = None
+        self._oo_dia_host = None
 
     # -- pytree protocol ----------------------------------------------
     def tree_flatten(self):
@@ -155,6 +159,8 @@ class PSparseMatrix:
         return self.blocks[0]["oo"].dtype
 
     def nnz(self) -> int:
+        if self._nnz_cache is not None:
+            return self._nnz_cache
         tot = 0
         for b in self.blocks:
             for k in ("oo", "oh", "ho", "hh"):
@@ -234,6 +240,7 @@ class PSparseMatrix:
     def invalidate_device(self):
         self._device = None
         self._device_T = None
+        self._oo_dia_host = None
 
 
 # ---------------------------------------------------------------------------

@@ -130,8 +130,20 @@ class GaussSeidel:
         self.sweep = sweep
         lay = A.row_layout()
         self.layout = lay
-        diag_parts = [b["oo"].diagonal() for b in A.blocks]
-        diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
+        # host copy of the own_own DIA values: structured constructors stash
+        # it (ops/stencil.py), saving a large device->host fetch at setup
+        host_dia = getattr(A, "_oo_dia_host", None)
+        if host_dia is not None:
+            offs, vals_np = host_dia
+            k0 = offs.index(0) if 0 in offs else None
+            diag = (
+                np.array(vals_np[:, k0, :])
+                if k0 is not None
+                else np.zeros(vals_np[:, 0, :].shape, vals_np.dtype)
+            )
+        else:
+            diag_parts = [b["oo"].diagonal() for b in A.blocks]
+            diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
         # fast path: banded own_own block -> mod-m colored DIA sweep
         # (one-SpMV-cost true GS, see gs_dia.py)
         self.colored = None
@@ -141,9 +153,10 @@ class GaussSeidel:
             from .gs_dia import ColoredDIAGS, find_mod_coloring
 
             if find_mod_coloring(dev_oo.offsets) is not None:
-                self.colored = ColoredDIAGS(
-                    dev_oo.offsets, np.asarray(dev_oo.vals), diag
+                vals_np = (
+                    host_dia[1] if host_dia is not None else np.asarray(dev_oo.vals)
                 )
+                self.colored = ColoredDIAGS(dev_oo.offsets, vals_np, diag)
                 self.colored.vals_d = A.backend.shard(self.colored.vals_d)
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
