@@ -71,11 +71,17 @@ def _get_mg():
     """Build the 128^3 4-level MG hierarchy once; both benches reuse it."""
     global _MG
     if _MG is None:
-        from partitionedarrays_tpu.backends import SerialBackend
+        import jax
+
+        from partitionedarrays_tpu.backends import MeshBackend
         from partitionedarrays_tpu.models.hpcg.mg import HPCGMGPreconditioner
 
+        # mesh-of-1 (shard_map) rather than the vmap serial driver: the
+        # batched pallas_call the vmap path produces costs ~25% extra on
+        # the GS sweeps; shard_map runs the kernels unbatched.
         _MG = HPCGMGPreconditioner(
-            (128, 128, 128), (1, 1, 1), SerialBackend(1), n_levels=4,
+            (128, 128, 128), (1, 1, 1),
+            MeshBackend(devices=jax.devices()[:1]), n_levels=4,
             dtype=np.float32,
         )
     return _MG
