@@ -47,6 +47,7 @@ from .ops.sparse_host import (
 )
 from .ops.dia import csr_diagonals, dia_spmv
 from .ops.ell import csr_to_ell, ell_spmv
+from .ops.stencil import stencil_psparse, stencil_rhs_counts
 
 # -- communication primitives (L3) ------------------------------------------
 from .parallel.primitives import (
@@ -252,6 +253,7 @@ from .solvers.ode import backward_euler, single_stage_solver
 # -- gallery / benchmarks (L7) ----------------------------------------------
 from .models.gallery import (
     laplacian_fdm,
+    plaplacian_fdm,
     laplacian_fem,
     linear_elasticity_fem,
     node_coordinates_unit_cube,

@@ -64,6 +64,32 @@ def laplacian_fdm(
     return Is, Js, Vs, node_partition, node_partition
 
 
+def plaplacian_fdm(
+    nodes_per_dir: Sequence[int],
+    parts_per_dir: Sequence[int],
+    backend,
+    dtype=np.float64,
+):
+    """Assembled PSparseMatrix of the FDM Laplacian, built in closed form.
+
+    Same operator as ``psparse(*laplacian_fdm(...), assembled=True)`` but
+    through the structured stencil constructor (ops/stencil.py) — no
+    triplet materialization; the own_own block freezes straight to DIA.
+    """
+    from ..ops.stencil import stencil_psparse
+
+    nodes = tuple(int(n) for n in nodes_per_dir)
+    parts = tuple(int(p) for p in parts_per_dir)
+    D = len(nodes)
+    alpha = float(np.prod([n + 1 for n in nodes]))
+    stencil = [((0,) * D, alpha * 2 * D)]
+    for d in range(D):
+        for step in (-1, 1):
+            delta = tuple(step if k == d else 0 for k in range(D))
+            stencil.append((delta, -alpha))
+    return stencil_psparse(parts, nodes, stencil, backend, dtype=dtype)
+
+
 def _q1_reference_stiffness(h_per_dir, dtype=np.float64) -> np.ndarray:
     """Q1 element stiffness with 2-point Gauss quadrature per dim.
 
