@@ -267,8 +267,48 @@ from .models.hpcg.cg import hpcg_cg
 from .models.hpcg.driver import hpcg_benchmark
 from .models.hpcg.report import HPCGReport
 from .models.hpcg.opt3d import compute_optimal_shape_xyz
+from .models.hpcg import (
+    build_matrix,
+    build_p_matrix,
+    hpcg_benchmark_debug,
+    hpcg_benchmark_mesh,
+    hpcg_benchmark_mpi,
+    opt_cg,
+    pc_setup,
+    pc_solve,
+    ref_cg,
+)
 
 # -- utilities --------------------------------------------------------------
 from .utils.ptimer import PTimer, barrier, current_time
+
+# -- reference-name compatibility surface ------------------------------------
+from .parallel.primitives import allocate_multicast, allocate_scatter
+from .compat import (
+    AbstractLocalIndices,
+    assembly_graph,
+    BArray,
+    DebugArray,
+    GhostIndices,
+    MPIArray,
+    OwnAndGhostIndices,
+    OwnIndices,
+    PermutedLocalIndices,
+    distribute_with_mpi,
+    ghost_ghost_values,
+    ghost_own_values,
+    ghost_values,
+    global_to_owner,
+    local_values,
+    own_ghost_values,
+    own_own_values,
+    own_values,
+    psparse_from_split_blocks,
+    renumber,
+    statistics,
+    tic,
+    toc,
+    with_mpi,
+)
 
 __version__ = "0.1.0"

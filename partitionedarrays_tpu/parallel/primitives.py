@@ -253,3 +253,15 @@ def allocate_exchange(graph: ExchangeGraph, lengths_snd: Sequence[Sequence[int]]
     return [
         [np.zeros(int(l)) for l in part_lens] for part_lens in lens
     ]
+
+
+def allocate_scatter(parts_on_source, source: int = MAIN):
+    """Parity: allocate_scatter (src/primitives.jl:357-437) — the
+    allocate/fill split is a host-tier convenience here (device buffers
+    are statically planned), so allocation just runs the op."""
+    return scatter(parts_on_source, source)
+
+
+def allocate_multicast(parts, source: int = MAIN):
+    """Parity: allocate_multicast (src/primitives.jl:469-561)."""
+    return multicast(parts, source)
