@@ -292,8 +292,13 @@ from .compat import (
     GhostIndices,
     MPIArray,
     OwnAndGhostIndices,
+    OwnAndGhostVectors,
     OwnIndices,
     PermutedLocalIndices,
+    SplitMatrix,
+    SplitVector,
+    old_psparse,
+    old_pvector,
     distribute_with_mpi,
     ghost_ghost_values,
     ghost_own_values,

@@ -179,6 +179,46 @@ def BArray(blocks):
     return BVector(blocks)
 
 
+# -- split-storage type names (src/p_vector.jl:46-265, p_sparse_matrix.jl:582)
+def SplitVector(x: PVector) -> PVector:
+    """Parity: SplitVector (src/p_vector.jl:120-265).  Here the split
+    own/ghost layout is the ONLY device layout, so this returns the vector
+    itself (converted if it came from a local buffer)."""
+    from .pvector import split_vector
+
+    return split_vector(x)
+
+
+def OwnAndGhostVectors(x: PVector) -> PVector:
+    """Parity: OwnAndGhostVectors (src/p_vector.jl:46-118) — deprecated in
+    the reference in favor of SplitVector; same here."""
+    return SplitVector(x)
+
+
+def SplitMatrix(A: PSparseMatrix) -> PSparseMatrix:
+    """Parity: SplitMatrix (src/p_sparse_matrix.jl:582-668).  The 4-block
+    split layout is the only device layout here; returns the split form."""
+    from .psparse import split_format
+
+    return split_format(A)
+
+
+def old_pvector(*args, **kwargs):
+    """Parity: old_pvector! (src/PartitionedArrays.jl:127) — the
+    reference's pre-0.4 constructor name; forwards to ``pvector``."""
+    from .pvector import pvector
+
+    return pvector(*args, **kwargs)
+
+
+def old_psparse(*args, **kwargs):
+    """Parity: old_psparse! (src/PartitionedArrays.jl:157) — the
+    reference's pre-0.4 constructor name; forwards to ``psparse``."""
+    from .psparse import psparse
+
+    return psparse(*args, **kwargs)
+
+
 def assembly_graph(pr_or_partition):
     """Parity: assembly_graph (src/p_range.jl:403-450) — the memoized
     assembly communication graph of a partition."""

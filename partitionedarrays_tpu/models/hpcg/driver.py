@@ -37,6 +37,9 @@ def hpcg_benchmark(
     mg: Optional[HPCGMGPreconditioner] = None,
 ) -> HPCGReport:
     import jax
+    import jax.numpy as jnp
+
+    from ...pvector import PVector
 
     if backend is None and mg is None:
         # convenience default: one serial part per requested box
@@ -84,7 +87,33 @@ def hpcg_benchmark(
         opt_iters = iterations
     assert opt_rel[-1] <= tolerance * (1 + 1e-6), "optimized CG failed validation"
 
-    # phase 3: timed sets
+    # phase 3: timed sets.  All sets run inside ONE compiled program,
+    # chained through a runtime scalar (b is rescaled by the previous
+    # set's final residual norm and the result un-scaled by linearity) so
+    # XLA cannot collapse the repeats; a single host fetch fences the
+    # whole window.  This keeps the remote-dispatch fixed latency out of
+    # the measured per-set time, like the reference's use of long
+    # `total_runtime` windows (HPCG/src/hpcg_benchmark.jl:81-88).
+    def chained_sets(k):
+        @jax.jit
+        def run(A, mg, b):
+            def body(i, carry):
+                scale, _ = carry
+                bs = PVector(
+                    b.own * scale, b.ghost * scale, b.layout, b.backend
+                )
+                x, norms = hpcg_cg(A, bs, M=mg, iterations=iterations)
+                new_scale = 1.0 + norms[-1] / norms[0] * 1e-12
+                return (new_scale, norms / scale)
+
+            one = jnp.ones((), b.own.dtype)
+            _, norms = jax.lax.fori_loop(
+                0, k, body, (one, jnp.zeros((iterations + 1,), b.own.dtype))
+            )
+            return norms
+
+        return run
+
     if total_runtime is not None:
         t_start = time.perf_counter()
         n_sets = 0
@@ -95,11 +124,17 @@ def hpcg_benchmark(
         time_solve = time.perf_counter() - t_start
     else:
         n_sets = timed_sets
-        t_start = time.perf_counter()
-        for _ in range(n_sets):
-            own, norms = one_set(A, mg, b)
-        np.asarray(norms[-1])
-        time_solve = time.perf_counter() - t_start
+        run1 = chained_sets(1)
+        runN = chained_sets(1 + n_sets)
+        np.asarray(run1(A, mg, b))  # compile
+        np.asarray(runN(A, mg, b))  # compile
+        t0 = time.perf_counter()
+        norms1 = np.asarray(run1(A, mg, b))
+        t1 = time.perf_counter()
+        normsN = np.asarray(runN(A, mg, b))
+        t2 = time.perf_counter()
+        time_solve = t2 - t1 - (t1 - t0)  # n_sets' worth of pure set time
+        assert np.allclose(norms1, normsN, rtol=1e-4)
 
     report = HPCGReport(
         nrow=A.shape[0],

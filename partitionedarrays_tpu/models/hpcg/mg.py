@@ -14,7 +14,7 @@ jittable; smoothing uses the colored-DIA GS sweep.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,6 @@ class HPCGMGPreconditioner:
         self.n_levels = n_levels
         self.As: List[PSparseMatrix] = []
         self.gss: List[GaussSeidel] = []
-        self.f2cs: List[jnp.ndarray] = []  # index l: fine level l+1 -> coarse l
         self.bs = []
         shapes = []
         for l in range(n_levels):
@@ -73,15 +72,22 @@ class HPCGMGPreconditioner:
             self.As.append(A)
             self.gss.append(GaussSeidel(A, iterations=smoother_iters, sweep="symmetric"))
             self.bs.append(b)
-        P = self.As[0].row_prange.n_parts
-        for l in range(n_levels - 1):
-            fx, fy, fz = shapes[n_levels - 2 - l]  # fine shape above level l
-            f2c = restrict_operator(fx, fy, fz)
-            flay = self.As[l + 1].row_layout()
-            clay = self.As[l].row_layout()
-            tab = np.full((P, clay.n_own_pad), OOB, dtype=np.int32)
-            tab[:, : f2c.size] = f2c[None, :]
-            self.f2cs.append(backend.shard(jnp.asarray(tab)))
+        # local box shape of each level (index = As index; 0 = coarsest).
+        # The injection map is a pure stride-2 slice of the C-ordered box:
+        # restrict = stride-2 slice on the two major dims + a selection
+        # matmul on the lane dim (a lane-strided slice forces a relayout,
+        # ~2.7ms at 128^3; the 128x64 selection matmul is ~free on the
+        # MXU); prolongate = interior-padded (x2 dilated) add via lax.pad.
+        self.level_shapes: List[Tuple[int, int, int]] = [
+            shapes[n_levels - 1 - l] for l in range(n_levels)
+        ]
+        # z-axis selection matrices (nz_fine, nz_fine/2), one per level > 0
+        self.zsels: List[jnp.ndarray] = [
+            jnp.asarray(
+                np.eye(self.level_shapes[l][2], dtype=np.dtype(dtype))[:, ::2]
+            )
+            for l in range(1, n_levels)
+        ]
         self.backend = backend
 
     @property
@@ -103,24 +109,30 @@ class HPCGMGPreconditioner:
             return x
         A = self.As[l]
         Axf = spmv(A, _col_view(A, x))
-        f2c = self.f2cs[l - 1]
-        rc_own = jnp.take_along_axis(
-            b.own - Axf.own, jnp.clip(f2c, 0, b.own.shape[1] - 1).astype(jnp.int32), axis=1
-        )
-        rc_own = jnp.where(f2c < b.own.shape[1], rc_own, 0)
+        nx, ny, nz = self.level_shapes[l]
+        nxc, nyc, nzc = self.level_shapes[l - 1]
+        P = x.own.shape[0]
         clay = self.As[l - 1].row_layout()
+        # restrict by injection: stride-2 on major dims, selection matmul
+        # on the lane (z) dim
+        r3 = (b.own - Axf.own)[:, : nx * ny * nz].reshape(P, nx, ny, nz)
+        rc3 = jnp.einsum("pxyz,zw->pxyw", r3[:, ::2, ::2, :], self.zsels[l - 1])
+        rc_own = _pad_to(rc3.reshape(P, -1), clay.n_own_pad)
         rc = PVector(
-            rc_own[:, : clay.n_own_pad],
-            jnp.zeros((rc_own.shape[0], clay.n_ghost_pad), rc_own.dtype),
+            rc_own,
+            jnp.zeros((P, clay.n_ghost_pad), rc_own.dtype),
             clay,
             self.backend,
         )
         xc = self._cycle(l - 1, rc)
-        P = x.own.shape[0]
-        rows = jnp.arange(P)[:, None]
-        x_own = x.own.at[rows, f2c].add(
-            _pad_to(xc.own, f2c.shape[1]), mode="drop"
+        # prolongate by injection = interior-padded (x2 dilated) add
+        c3 = xc.own[:, : nxc * nyc * nzc].reshape(P, nxc, nyc, nzc)
+        dil = jax.lax.pad(
+            c3,
+            jnp.zeros((), c3.dtype),
+            ((0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 1, 1)),
         )
+        x_own = x.own.at[:, : nx * ny * nz].add(dil.reshape(P, -1))
         x = PVector(x_own, x.ghost, x.layout, self.backend)
         return gs.apply(x, b)  # post-smooth
 
@@ -148,4 +160,4 @@ def _pad_to(a: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, 0), (0, n - a.shape[1])))
 
 
-_register_identity_pytree(HPCGMGPreconditioner, ("As", "gss", "f2cs"))
+_register_identity_pytree(HPCGMGPreconditioner, ("As", "gss", "zsels"))
