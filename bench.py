@@ -79,6 +79,8 @@ def _get_mg():
         # mesh-of-1 (shard_map) rather than the vmap serial driver: the
         # batched pallas_call the vmap path produces costs ~25% extra on
         # the GS sweeps; shard_map runs the kernels unbatched.
+        # note: precond_dtype=bfloat16 is available but measured SLOWER on
+        # v5e (Mosaic's bf16 1-D stream lowering negates the traffic win)
         _MG = HPCGMGPreconditioner(
             (128, 128, 128), (1, 1, 1),
             MeshBackend(devices=jax.devices()[:1]), n_levels=4,

@@ -33,6 +33,7 @@ def hpcg_benchmark(
     timed_sets: int = 3,
     total_runtime: Optional[float] = None,
     dtype=np.float32,
+    precond_dtype=None,
     verbose: bool = False,
     mg: Optional[HPCGMGPreconditioner] = None,
 ) -> HPCGReport:
@@ -53,7 +54,14 @@ def hpcg_benchmark(
     t0 = time.perf_counter()
     if mg is None:
         mg = HPCGMGPreconditioner(
-            local_shape, parts_per_dir, backend, n_levels=n_levels, dtype=dtype
+            local_shape,
+            parts_per_dir,
+            backend,
+            n_levels=n_levels,
+            dtype=dtype,
+            precond_dtype=(
+                jnp.dtype(precond_dtype) if precond_dtype is not None else None
+            ),
         )
     A, b = mg.A, mg.b
 
@@ -152,6 +160,9 @@ def hpcg_benchmark(
             "levels": n_levels,
             "final_relres": float(opt_rel[-1]),
             "dtype": np.dtype(dtype).name,
+            "precond_values_dtype": (
+                str(jnp.dtype(precond_dtype)) if precond_dtype is not None else None
+            ),
         },
     )
     return report

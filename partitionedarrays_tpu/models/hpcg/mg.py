@@ -54,7 +54,15 @@ class HPCGMGPreconditioner:
         n_levels: int = 4,
         dtype=np.float64,
         smoother_iters: int = 1,
+        precond_dtype=None,
     ):
+        """``precond_dtype``: optional reduced-precision storage (e.g.
+        jnp.bfloat16) for the matrix values streamed INSIDE the V-cycle
+        (GS sweeps + the Axf residual SpMV).  Vectors, dots and the outer
+        CG operator stay in ``dtype``; updates accumulate in ``dtype`` —
+        standard mixed-precision multigrid: the preconditioner is an
+        approximate inverse, so value precision only nudges the
+        convergence rate while halving the dominant HBM stream."""
         nx, ny, nz = (int(v) for v in local_shape)
         assert min(nx, ny, nz) % (2 ** (n_levels - 1)) == 0, (
             "local shape must be divisible by 2^(levels-1)"
@@ -67,10 +75,23 @@ class HPCGMGPreconditioner:
         for l in range(n_levels):
             shapes.append((nx >> l, ny >> l, nz >> l))
         # level order: index 0 = coarsest ... n_levels-1 = finest
+        self.devs_pc: List = []  # per-level device blocks for the Axf SpMV
         for shape in reversed(shapes):
             A, b = build_hpcg_problem(shape, parts_per_dir, backend, dtype=dtype)
             self.As.append(A)
-            self.gss.append(GaussSeidel(A, iterations=smoother_iters, sweep="symmetric"))
+            self.gss.append(
+                GaussSeidel(
+                    A,
+                    iterations=smoother_iters,
+                    sweep="symmetric",
+                    values_dtype=precond_dtype,
+                )
+            )
+            self.devs_pc.append(
+                A.device().astype(precond_dtype)
+                if precond_dtype is not None
+                else A.device()
+            )
             self.bs.append(b)
         # local box shape of each level (index = As index; 0 = coarsest).
         # The injection map is a pure stride-2 slice of the C-ordered box:
@@ -108,7 +129,7 @@ class HPCGMGPreconditioner:
         if l == 0:
             return x
         A = self.As[l]
-        Axf = spmv(A, _col_view(A, x))
+        Axf = spmv(A, _col_view(A, x), dev=self.devs_pc[l])
         nx, ny, nz = self.level_shapes[l]
         nxc, nyc, nzc = self.level_shapes[l - 1]
         P = x.own.shape[0]
@@ -160,4 +181,4 @@ def _pad_to(a: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, 0), (0, n - a.shape[1])))
 
 
-_register_identity_pytree(HPCGMGPreconditioner, ("As", "gss", "zsels"))
+_register_identity_pytree(HPCGMGPreconditioner, ("As", "gss", "zsels", "devs_pc"))

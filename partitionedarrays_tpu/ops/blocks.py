@@ -59,6 +59,18 @@ class DeviceBlock:
             n += int(np.prod(self.cols.shape)) * 4
         return n
 
+    def astype(self, dtype) -> "DeviceBlock":
+        """Values-cast copy (cols/offsets shared).  Used for reduced-
+        precision preconditioner copies (kernels accumulate in the x
+        dtype, so bf16 values halve the dominant HBM stream)."""
+        return DeviceBlock(
+            self.kind,
+            self.offsets,
+            self.n_cols_pad,
+            self.cols,
+            self.vals.astype(dtype),
+        )
+
 
 def freeze_block(
     blocks: Sequence[sp.spmatrix],

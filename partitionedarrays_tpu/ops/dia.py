@@ -77,7 +77,7 @@ def dia_spmv(
     """
     R = vals.shape[-1]
     if not offsets:
-        return jnp.zeros((R,), dtype=vals.dtype)
+        return jnp.zeros((R,), dtype=jnp.promote_types(vals.dtype, x.dtype))
     lo = min(min(offsets), 0)
     hi = max(max(offsets) + R, n_cols_pad)
     xpad = jnp.zeros((hi - lo,), dtype=x.dtype)

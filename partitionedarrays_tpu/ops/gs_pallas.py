@@ -37,8 +37,12 @@ MAX_X_SCRATCH_BYTES = 11 * 1024 * 1024
 
 
 def _pick_tile(L: int, n_off: int, itemsize: int) -> int:
+    # budget counts the streamed block plus its f32 compute copy when the
+    # values are stored reduced-precision (widened in-kernel before the
+    # FMA); full-precision values keep the original geometry
+    extra = 4 if itemsize < 4 else 0
     for t in (16384, 8192, 4096, 2048, 1024):
-        if L % t == 0 and n_off * t * itemsize <= 2 * 1024 * 1024:
+        if L % t == 0 and n_off * t * (itemsize + extra) <= 2 * 1024 * 1024:
             return t
     return 0
 
@@ -91,13 +95,17 @@ def _kernel(
         @pl.when(cond)
         def _update(c=c):
             offs = schedule[c]
+            widen = vals_ref.dtype != xs_ref.dtype
             acc = None
             for d, off in enumerate(offs):
                 q = (off // ALIGN) * ALIGN
                 r = off - q
                 W = xs_ref[pl.ds(jT + q, T + ALIGN)]
                 seg = jax.lax.slice(W, (r,), (r + T,))
-                term = vals_ref[0, d, :] * seg
+                v = vals_ref[0, d, :]
+                if widen:
+                    v = v.astype(xs_ref.dtype)
+                term = v * seg
                 acc = term if acc is None else acc + term
             base = c * Lp + Kp  # static, 1024-aligned
             xold = xs_ref[pl.ds(jT + base, T)]
@@ -143,7 +151,7 @@ def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((n_flat,), vals_d.dtype),
+            pltpu.VMEM((n_flat,), xflat.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -66,6 +66,7 @@ def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
     T = _pick_tile(R)
     n_off = vals.shape[0]
     kernel = functools.partial(_dia_kernel, offsets, lo, T)
+    out_dtype = jnp.promote_types(vals.dtype, x.dtype)
     return pl.pallas_call(
         kernel,
         grid=(R // T,),
@@ -74,7 +75,7 @@ def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
         ],
         out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R,), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((R,), out_dtype),
     )(vals, xpad)
 
 

@@ -81,6 +81,14 @@ class DeviceSpMat:
             b.nbytes() for b in (self.oo, self.oh, self.ho, self.hh) if b is not None
         )
 
+    def astype(self, dtype) -> "DeviceSpMat":
+        return DeviceSpMat(
+            *(
+                b.astype(dtype) if b is not None else None
+                for b in (self.oo, self.oh, self.ho, self.hh)
+            )
+        )
+
 
 # ---------------------------------------------------------------------------
 # the container
@@ -583,13 +591,17 @@ def consistent_matrix(A: PSparseMatrix, rows_co: PRange) -> Task:
 # SpMV (the hot path)
 # ---------------------------------------------------------------------------
 
-def spmv(A: PSparseMatrix, x: PVector, alpha=1.0) -> PVector:
+def spmv(A: PSparseMatrix, x: PVector, alpha=1.0, dev=None) -> PVector:
     """y = alpha * A @ x (parity: mul!, src/p_sparse_matrix.jl:2090-2142).
 
     x must be partitioned by ``A.col_prange``.  The ghost exchange and the
     own_own block product are data-independent, so XLA overlaps them (the
-    compiled analogue of the reference's latency hiding)."""
-    dev = A.device()
+    compiled analogue of the reference's latency hiding).
+
+    ``dev``: optional substitute :class:`DeviceSpMat` with the same
+    structure as ``A.device()`` (e.g. a reduced-precision values copy)."""
+    if dev is None:
+        dev = A.device()
     clay = x.layout
     rlay = A.row_layout()
     backend = A.backend

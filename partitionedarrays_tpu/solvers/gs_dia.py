@@ -52,7 +52,13 @@ class ColoredDIAGS:
     block; all tables host-prepared once and frozen.
     """
 
-    def __init__(self, offsets: Tuple[int, ...], vals: np.ndarray, diag: np.ndarray):
+    def __init__(
+        self,
+        offsets: Tuple[int, ...],
+        vals: np.ndarray,
+        diag: np.ndarray,
+        values_dtype=None,
+    ):
         self.offsets = tuple(int(o) for o in offsets)
         m = find_mod_coloring(self.offsets)
         assert m is not None
@@ -76,7 +82,10 @@ class ColoredDIAGS:
         vp = np.zeros((P, n_off, Rq), dtype=vals.dtype)
         vp[:, :, :R] = vals
         vals_d = vp.reshape(P, n_off, Lq, m).transpose(0, 3, 1, 2)
-        self.vals_d = jnp.asarray(np.ascontiguousarray(vals_d))
+        self.vals_d = jnp.asarray(
+            np.ascontiguousarray(vals_d),
+            dtype=values_dtype if values_dtype is not None else vals_d.dtype,
+        )
         # de-interleaved inverse diagonal (zero on padding -> no-op update)
         dp = np.zeros((P, Rq), dtype=diag.dtype)
         dp[:, :R] = diag

@@ -123,7 +123,17 @@ class GaussSeidel:
     smoothers.jl:207-302).
     """
 
-    def __init__(self, A: PSparseMatrix, iterations: int = 1, sweep: str = "symmetric"):
+    def __init__(
+        self,
+        A: PSparseMatrix,
+        iterations: int = 1,
+        sweep: str = "symmetric",
+        values_dtype=None,
+    ):
+        """``values_dtype``: optional reduced-precision storage for the
+        streamed diagonal values of the colored sweep (e.g. bfloat16 —
+        halves the dominant HBM traffic; the update itself accumulates in
+        the x dtype).  Only affects the smoother, not A."""
         assert sweep in ("forward", "backward", "symmetric")
         self.A = A
         self.iterations = iterations
@@ -156,7 +166,9 @@ class GaussSeidel:
                 vals_np = (
                     host_dia[1] if host_dia is not None else np.asarray(dev_oo.vals)
                 )
-                self.colored = ColoredDIAGS(dev_oo.offsets, vals_np, diag)
+                self.colored = ColoredDIAGS(
+                    dev_oo.offsets, vals_np, diag, values_dtype=values_dtype
+                )
                 self.colored.vals_d = A.backend.shard(self.colored.vals_d)
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
