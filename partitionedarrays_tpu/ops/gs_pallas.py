@@ -48,8 +48,11 @@ def _pick_tile(L: int, n_off: int, itemsize: int) -> int:
 
 
 def gs_sweep_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bool:
+    # f64 (x itemsize 8) must use the XLA path: the TPU X64 software
+    # rewriting does not handle custom calls (Pallas kernels)
     return (
-        _pick_tile(Lq, n_off, itemsize) != 0
+        itemsize <= 4
+        and _pick_tile(Lq, n_off, itemsize) != 0
         and n_flat * itemsize <= MAX_X_SCRATCH_BYTES
     )
 
@@ -156,8 +159,27 @@ def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_flat,), xflat.dtype),
-    )(order_arr, vals_d, bd[:, None, :], invd_d[:, None, :], xflat)
+
+    # ANY-memory-space operands cannot be batched by vmap's pallas rule
+    # (the batched x part would need a blocked HBM spec); under vmap
+    # (SerialBackend, P parts on one device) run the kernel per part with
+    # lax.map — parts execute sequentially on one core either way.
+    @jax.custom_batching.custom_vmap
+    def run(ordr, vals_d, bd3, invd3, xflat):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_flat,), xflat.dtype),
+        )(ordr, vals_d, bd3, invd3, xflat)
+
+    @run.def_vmap
+    def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
+        args = tuple(
+            a
+            if b
+            else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        return jax.lax.map(lambda t: run(*t), args), True
+
+    return run(order_arr, vals_d, bd[:, None, :], invd_d[:, None, :], xflat)

@@ -80,6 +80,10 @@ def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
 
 
 def dia_spmv_pallas_viable(offsets, R: int, n_cols_pad: int, itemsize: int) -> bool:
+    if itemsize > 4:
+        # f64: the TPU X64 software rewriting does not handle custom
+        # calls (Pallas kernels) — use the XLA stencil path
+        return False
     if not offsets or R < MIN_ROWS_FOR_PALLAS or _pick_tile(R) == 0:
         return False
     lo = min(min(offsets), 0)

@@ -40,7 +40,7 @@ def test_psparse_roundtrip(tmp_path, backend4):
     )
 
 
-def test_example_jacobi_runs():
+def _run_example(name: str, expect: str) -> None:
     import subprocess, sys
 
     env = dict(os.environ)
@@ -48,9 +48,47 @@ def test_example_jacobi_runs():
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the subprocess off the TPU
     out = subprocess.run(
-        [sys.executable, "examples/jacobi_tutorial.py"],
+        [sys.executable, f"examples/{name}.py"],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "max|err|" in out.stdout
+    assert expect in out.stdout
+
+
+def test_example_jacobi_runs():
+    _run_example("jacobi_tutorial", "max|err|")
+
+
+def test_example_fdm_runs():
+    _run_example("fdm_example", "|x-x*|")
+
+
+def test_example_fem_runs():
+    _run_example("fem_example", "|x-x*|")
+
+
+def test_example_amg_runs():
+    _run_example("amg_example", "|x-x*|")
+
+
+def test_example_failure_propagates(tmp_path):
+    """Parity: test/mpi_array/exception_tests.jl — a failing driver must
+    propagate a nonzero exit code."""
+    import subprocess, sys
+
+    bad = tmp_path / "bad_driver.py"
+    bad.write_text(
+        "import partitionedarrays_tpu as pat\n"
+        "raise RuntimeError('boom')\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, str(bad)], capture_output=True, text=True, env=env,
+        cwd=root,
+    )
+    assert out.returncode != 0
+    assert "boom" in out.stderr
