@@ -19,6 +19,7 @@ from .backends import (
     serial_backend,
     with_debug,
     with_mesh,
+    with_multihost,
     with_serial,
 )
 from .config import pallas_enabled

@@ -142,6 +142,46 @@ def with_mesh(f: Callable, mesh: Optional[Mesh] = None):
 with_debug = with_serial
 
 
+def with_multihost(
+    f: Callable = None,
+    *,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host entry point (the pod-scale analogue of the reference's
+    ``with_mpi``, src/mpi_array.jl:64-83).
+
+    Initializes ``jax.distributed`` (auto-detected on TPU pods launched
+    with the standard runtime; pass coordinator/num_processes/process_id
+    explicitly elsewhere) and builds a :class:`MeshBackend` over the
+    GLOBAL device set, so the same SPMD program spans every host —
+    collectives ride ICI within a slice and DCN between slices.
+
+    Use as ``with_multihost(main)`` or ``backend = with_multihost()``.
+    """
+    import jax
+
+    import os
+
+    multiproc = (
+        coordinator_address is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+    )
+    if multiproc:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError:
+            pass  # already initialized
+    backend = MeshBackend(devices=jax.devices())
+    return f(backend) if f is not None else backend
+
+
 def stack_parts(parts: Sequence[np.ndarray], pad_to: Optional[int] = None, fill=0):
     """Stack ragged per-part host arrays into one padded [P, n_pad, ...] array."""
     parts = [np.asarray(p) for p in parts]

@@ -206,6 +206,28 @@ def test_primitives_roundtrip():
     assert map_parts(lambda a, b: a + b, [1, 2], [10, 20]) == [11, 22]
 
 
+def test_primitives_reference_values():
+    """Exact expected values from the reference's primitives_tests.jl
+    (test/primitives_tests.jl:109-152, ranks 1..4, a = 3*mod(rank,3))."""
+    a = [3 * (r % 3) for r in (1, 2, 3, 4)]  # [3, 6, 0, 3]
+    assert scan(lambda x, y: x + y, a, 0, type="inclusive") == [3, 9, 9, 12]
+    assert scan(lambda x, y: x + y, a, 1, type="exclusive") == [1, 4, 10, 10]
+    rank = [1, 2, 3, 4]
+    r = reduction(lambda x, y: x + y, rank, init=0)
+    assert r[0] == 10
+    r = reduction(lambda x, y: x + y, rank, init=10, destination="all")
+    assert r == [20, 20, 20, 20]
+    # emit == multicast (src/PartitionedArrays.jl:45-47)
+    from partitionedarrays_tpu import emit
+
+    assert emit([None, 5, None], source=1) == [5, 5, 5]
+    # gather of vector payloads to :all (primitives_tests.jl:71-75)
+    snd = [list(range(1, r + 1)) for r in (1, 2, 3, 4)]
+    rcv = gather(snd, destination="all")
+    for part in rcv:
+        assert [list(x) for x in part] == [[1], [1, 2], [1, 2, 3], [1, 2, 3, 4]]
+
+
 def test_exchange_graph():
     snd = [[1], [0, 2], [1], []]
     g = ExchangeGraph(snd)
