@@ -123,39 +123,72 @@ class HPCGMGPreconditioner:
         return [A.nnz() for A in self.As]
 
     # -- V-cycle -------------------------------------------------------
-    def _cycle(self, l: int, b: PVector) -> PVector:
-        gs = self.gss[l]
-        x = gs(b)  # zero-guess pre-smooth (coarsest: this IS the solve)
-        if l == 0:
-            return x
-        A = self.As[l]
-        Axf = spmv(A, _col_view(A, x), dev=self.devs_pc[l])
+    def _restrict(self, l: int, r_own: jnp.ndarray) -> PVector:
+        """Injection restrict: stride-2 on major dims, selection matmul on
+        the lane (z) dim."""
         nx, ny, nz = self.level_shapes[l]
-        nxc, nyc, nzc = self.level_shapes[l - 1]
-        P = x.own.shape[0]
+        P = r_own.shape[0]
         clay = self.As[l - 1].row_layout()
-        # restrict by injection: stride-2 on major dims, selection matmul
-        # on the lane (z) dim
-        r3 = (b.own - Axf.own)[:, : nx * ny * nz].reshape(P, nx, ny, nz)
+        r3 = r_own[:, : nx * ny * nz].reshape(P, nx, ny, nz)
         rc3 = jnp.einsum("pxyz,zw->pxyw", r3[:, ::2, ::2, :], self.zsels[l - 1])
         rc_own = _pad_to(rc3.reshape(P, -1), clay.n_own_pad)
-        rc = PVector(
+        return PVector(
             rc_own,
             jnp.zeros((P, clay.n_ghost_pad), rc_own.dtype),
             clay,
             self.backend,
         )
-        xc = self._cycle(l - 1, rc)
-        # prolongate by injection = interior-padded (x2 dilated) add
-        c3 = xc.own[:, : nxc * nyc * nzc].reshape(P, nxc, nyc, nzc)
+
+    def _prolong(self, l: int, xc_own: jnp.ndarray, n_own_pad: int) -> jnp.ndarray:
+        """Injection prolongate: interior-padded (x2 dilated) correction in
+        standard order, zero elsewhere."""
+        nx, ny, nz = self.level_shapes[l]
+        nxc, nyc, nzc = self.level_shapes[l - 1]
+        P = xc_own.shape[0]
+        c3 = xc_own[:, : nxc * nyc * nzc].reshape(P, nxc, nyc, nzc)
         dil = jax.lax.pad(
             c3,
             jnp.zeros((), c3.dtype),
             ((0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 1, 1)),
         )
-        x_own = x.own.at[:, : nx * ny * nz].add(dil.reshape(P, -1))
-        x = PVector(x_own, x.ghost, x.layout, self.backend)
-        return gs.apply(x, b)  # post-smooth
+        return _pad_to(dil.reshape(P, -1), n_own_pad)
+
+    def _cycle(self, l: int, b: PVector) -> PVector:
+        gs = self.gss[l]
+        A = self.As[l]
+        if l == 0 or not gs.flat_viable():
+            # generic path (coarsest level / ghosted parts / non-colored)
+            x = gs(b)  # zero-guess pre-smooth (coarsest: this IS the solve)
+            if l == 0:
+                return x
+            Axf = spmv(A, _col_view(A, x), dev=self.devs_pc[l])
+            rc = self._restrict(l, b.own - Axf.own)
+            xc = self._cycle(l - 1, rc)
+            corr = self._prolong(l, xc.own, x.own.shape[1])
+            x = PVector(x.own + corr, x.ghost, x.layout, self.backend)
+            return gs.apply(x, b)  # post-smooth
+
+        # flat pipeline: x stays in the de-interleaved sweep space across
+        # pre-smooth -> coarse correction -> post-smooth; interleave only
+        # where standard order is consumed (the Axf SpMV, the output)
+        rlay = A.row_layout()
+        bd = gs.make_bd(b)                      # shared by pre and post
+        xflat = gs.smooth_bd(None, bd)          # zero-guess pre-smooth
+        x_own = gs.flat_interleave(xflat)
+        x = PVector(
+            x_own,
+            jnp.zeros((x_own.shape[0], rlay.n_ghost_pad), x_own.dtype),
+            rlay,
+            self.backend,
+        )
+        Axf = spmv(A, _col_view(A, x), dev=self.devs_pc[l])
+        rc = self._restrict(l, b.own - Axf.own)
+        xc = self._cycle(l - 1, rc)
+        corr = self._prolong(l, xc.own, x_own.shape[1])
+        xflat = gs.flat_add_std(xflat, corr)
+        xflat = gs.smooth_bd(xflat, bd)         # post-smooth
+        x_own = gs.flat_interleave(xflat)
+        return PVector(x_own, x.ghost, rlay, self.backend)
 
     def __call__(self, r: PVector) -> PVector:
         return self._cycle(self.n_levels - 1, r)

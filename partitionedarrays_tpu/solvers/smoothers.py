@@ -192,6 +192,89 @@ class GaussSeidel:
             xo = jnp.where(colors == c, xnew, xo)
         return xo
 
+    # -- flat-space pipeline (colored path, no ghost columns) ----------
+    # These let a caller (the MG V-cycle) keep x in the de-interleaved
+    # flat space across pre-smooth -> correction -> post-smooth, paying
+    # the interleave transform only where a standard-order vector is
+    # actually consumed (the Axf SpMV and the level output).
+
+    def _order_seq(self):
+        fwd = list(range(self.n_colors))
+        orders = {
+            "forward": [fwd],
+            "backward": [fwd[::-1]],
+            "symmetric": [fwd, fwd[::-1]],
+        }[self.sweep]
+        return tuple(
+            c for _ in range(self.iterations) for order in orders for c in order
+        )
+
+    def flat_viable(self) -> bool:
+        clay = self.A.col_layout()
+        has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
+        return self.colored is not None and not has_cg
+
+    def make_bd(self, b: PVector):
+        """Stacked de-interleaved rhs (P, m, Lq) — compute once, reuse for
+        pre and post smoothing (b is identical for both)."""
+        col = self.colored
+
+        def make_f():
+            return lambda bo: col.deinterleave(bo)
+
+        return self.A.backend.spmd_cached(("gs_make_bd", col), make_f)(b.own)
+
+    def smooth_bd(self, xflat, bd):
+        """Sweeps on the stacked flat x; ``xflat=None`` means zero guess."""
+        col = self.colored
+        order_seq = self._order_seq()
+        backend = self.A.backend
+        if xflat is None:
+            def make_f():
+                def f(bd, vals_d, invd_d):
+                    xf = jnp.zeros((col.m * col.Lp + col.Kp,), bd.dtype)
+                    return col.sweeps_flat(xf, bd, vals_d, invd_d, order_seq)
+
+                return f
+
+            return backend.spmd_cached(
+                ("gs_smooth_bd0", col, order_seq), make_f
+            )(bd, col.vals_d, col.invd_d)
+
+        def make_f():
+            def f(xf, bd, vals_d, invd_d):
+                return col.sweeps_flat(xf, bd, vals_d, invd_d, order_seq)
+
+            return f
+
+        return backend.spmd_cached(("gs_smooth_bd", col, order_seq), make_f)(
+            xflat, bd, col.vals_d, col.invd_d
+        )
+
+    def flat_interleave(self, xflat):
+        """Stacked flat x -> standard own values (P, n_own_pad)."""
+        col = self.colored
+
+        def make_f():
+            return lambda xf: col.from_flat(xf)
+
+        return self.A.backend.spmd_cached(("gs_interleave", col), make_f)(xflat)
+
+    def flat_add_std(self, xflat, corr_own):
+        """xflat + flatten(corr) — add a standard-order correction in the
+        flat space (deinterleave is the layout-cheap direction)."""
+        col = self.colored
+
+        def make_f():
+            def f(xf, co):
+                return xf + col.to_flat(col.deinterleave(co))
+
+            return f
+
+        return self.A.backend.spmd_cached(("gs_flat_add", col), make_f)(
+            xflat, corr_own
+        )
+
     def apply(self, x: PVector, b: PVector) -> PVector:
         """In-solver smoothing: improve x for A x = b.  Ghost values are
         refreshed by one ``consistent`` exchange per sweep (hybrid GS)."""
