@@ -276,14 +276,27 @@ class AMGPreconditioner:
     ):
         params = params or AMGParams()
         self.params = params
+        self.nullspace = nullspace
+        self._setup(A, reuse_aggregates=False)
+
+    def _setup(self, A: PSparseMatrix, reuse_aggregates: bool) -> None:
+        params = self.params
         self.levels: List[AMGLevel] = []
         current = A
-        ns = nullspace
-        bs = params.block_size if nullspace is not None else 1
+        ns = self.nullspace
+        bs = params.block_size if ns is not None else 1
+        if not reuse_aggregates:
+            self._aggs: List = []  # (aggs, coarse) per level, for update()
         for l in range(params.max_levels - 1):
             if current.shape[0] <= params.coarse_size:
                 break
-            aggs, coarse = aggregate_psparse(current, params.epsilon, bs)
+            if reuse_aggregates:
+                if l >= len(self._aggs):
+                    break
+                aggs, coarse = self._aggs[l]
+            else:
+                aggs, coarse = aggregate_psparse(current, params.epsilon, bs)
+                self._aggs.append((aggs, coarse))
             P0, ns, coarse_dofs = tentative_prolongator(current, aggs, coarse, ns)
             # coarse level has n_modes dofs per aggregate-node
             bs = len(ns[0]) if ns is not None else 1
@@ -310,6 +323,14 @@ class AMGPreconditioner:
         for p, li in enumerate(current.row_prange.partition()):
             g2g[p, : li.n_own] = li.own_to_global
         self.coarse_gids = self.backend.shard(jnp.asarray(g2g))
+
+    def update(self, A: PSparseMatrix) -> "AMGPreconditioner":
+        """Re-coarsen for new matrix VALUES at fixed sparsity (parity:
+        amg_update!, amg.jl:925-942): aggregation is reused; the smoothed
+        prolongators, Galerkin products, smoothers and the coarse inverse
+        are rebuilt from the new values."""
+        self._setup(A, reuse_aggregates=True)
+        return self
 
     # -- coarse solve: all_gather own residual, replicated dense matmul,
     #    gather back each part's own slice (stays on device; the analogue

@@ -68,6 +68,33 @@ def test_amg_preconditioned_cg(backend4):
     assert int(info.iterations) <= 25  # AMG should converge in few iters
 
 
+def test_amg_update_fixed_sparsity(backend4):
+    """Parity: amg_update! (amg.jl:925-942) — refresh the hierarchy for
+    new matrix values at fixed sparsity (aggregation reused)."""
+    A = build_fdm(backend4, (16, 16), (2, 2))
+    x_exact, b = manufactured(A, backend4)
+    M = amg(A, AMGParams(coarse_size=20))
+    aggs_before = [a for a, _ in M._aggs]
+    # scale the operator values: same sparsity, different values
+    from partitionedarrays_tpu import psparse
+    from partitionedarrays_tpu.parallel.p_range import PRange
+
+    I, J, V, rows, cols = __import__(
+        "partitionedarrays_tpu.models.gallery", fromlist=["laplacian_fdm"]
+    ).laplacian_fdm((16, 16), (2, 2))
+    A2 = psparse(
+        I, J, [2.0 * v for v in V], PRange(rows), PRange(cols),
+        backend4, assembled=True,
+    )
+    M.update(A2)
+    for a0, (a1, _) in zip(aggs_before, M._aggs):
+        assert a0 is a1  # aggregation really was reused
+    x2_exact, b2 = manufactured(A2, backend4)
+    x, info = cg(A2, b2, M=M, rtol=1e-10, maxiter=200)
+    assert np.linalg.norm(collect(x) - x2_exact) < 1e-5
+    assert int(info.iterations) <= 25
+
+
 def test_amg_wcycle(backend4):
     A = build_fdm(backend4, (12, 12), (2, 2))
     x_exact, b = manufactured(A, backend4)
