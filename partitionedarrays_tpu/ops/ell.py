@@ -72,6 +72,9 @@ def ell_spmv(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
     cols/vals: [R, K]; x: [n_pad].  Padding lanes carry OOB columns
     (gather fills 0) and zero values.
     """
+    if x.shape[-1] == 0 or cols.shape[-1] == 0:
+        # empty block (e.g. no ghost columns): contribution is zero
+        return jnp.zeros(cols.shape[:-1], dtype=vals.dtype)
     g = jnp.take(x, cols, mode="fill", fill_value=0)
     return jnp.sum(vals * g, axis=-1)
 
@@ -79,6 +82,8 @@ def ell_spmv(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
 def ell_spmv_masked_diag(cols, vals, diag_idx, x):
     """SpMV excluding the diagonal lane (used by Jacobi-style sweeps)."""
     K = cols.shape[-1]
+    if x.shape[-1] == 0 or K == 0:
+        return jnp.zeros(cols.shape[:-1], dtype=vals.dtype)
     lane = jnp.arange(K)[None, :]
     off = jnp.where(lane == diag_idx[:, None], 0.0, vals)
     g = jnp.take(x, cols, mode="fill", fill_value=0)

@@ -173,23 +173,59 @@ class GaussSeidel:
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
         if self.colored is None:
-            # general fallback: greedy multicolor, n_colors masked passes
+            # general fallback: SORTED-BY-COLOR true GS.  Each color's rows
+            # get their own sliced ELL sub-blocks, so one sweep costs one
+            # full-SpMV worth of gathers (a masked formulation would cost
+            # n_colors full SpMVs per sweep — 16x slower on typical AMG
+            # Galerkin levels).
+            from ..ops.ell import stack_ell
+
             color_parts = [greedy_coloring(b["oo"]) for b in A.blocks]
             self.n_colors = int(max((c.max() + 1) if c.size else 1 for c in color_parts))
-            colors = stack_parts(color_parts, pad_to=lay.n_own_pad, fill=-1)
             inv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
-            self.colors = A.backend.shard(jnp.asarray(colors))
-            self.inv_diag = A.backend.shard(jnp.asarray(inv))
-            self.diag = A.backend.shard(jnp.asarray(diag))
+            P = len(A.blocks)
+            oob_row = lay.n_own_pad  # scatter mode='drop' / gather fill
+            tabs = []
+            for c in range(self.n_colors):
+                rows_pc = [
+                    np.where(color_parts[p] == c)[0] for p in range(P)
+                ]
+                nc_pad = max(max((r.size for r in rows_pc), default=0), 1)
+                row_tab = np.full((P, nc_pad), oob_row, dtype=np.int32)
+                invd_c = np.zeros((P, nc_pad), dtype=inv.dtype)
+                oo_c, oh_c = [], []
+                for p, r in enumerate(rows_pc):
+                    row_tab[p, : r.size] = r
+                    invd_c[p, : r.size] = inv[p, r]
+                    oo_c.append(A.blocks[p]["oo"].tocsr()[r])
+                    oh_c.append(A.blocks[p]["oh"].tocsr()[r])
+                ooc, oov = stack_ell(oo_c, nc_pad)
+                ohc, ohv = stack_ell(oh_c, nc_pad)
+                shard = A.backend.shard
+                tabs.append(
+                    (
+                        shard(jnp.asarray(row_tab)),
+                        shard(jnp.asarray(ooc)),
+                        shard(jnp.asarray(oov)),
+                        shard(jnp.asarray(ohc)),
+                        shard(jnp.asarray(ohv)),
+                        shard(jnp.asarray(invd_c)),
+                    )
+                )
+            self.color_tabs = tuple(tabs)
 
     # -- one hybrid sweep (per-part SPMD function) ---------------------
-    def _sweep_once(self, xo, xg, colors, inv_diag, diag, oo, oh, bo, order):
+    def _sweep_once(self, xo, xg, bo, tabs, order):
+        from ..ops.ell import ell_spmv
+
         for c in order:
-            ax = oo.spmv(xo) + oh.spmv(xg)
+            rows, ooc, oov, ohc, ohv, invd = tabs[c]
+            ax = ell_spmv(ooc, oov, xo) + ell_spmv(ohc, ohv, xg)
+            xc = jnp.take(xo, rows, mode="fill", fill_value=0)
+            bc = jnp.take(bo, rows, mode="fill", fill_value=0)
             # row residual keeping the diagonal term: x_i^new =
             # (b_i - sum_{j != i} a_ij x_j) / a_ii = x_i + (b_i - ax_i)/a_ii
-            xnew = xo + (bo - ax) * inv_diag
-            xo = jnp.where(colors == c, xnew, xo)
+            xo = xo.at[rows].set(xc + (bc - ax) * invd, mode="drop")
         return xo
 
     # -- flat-space pipeline (colored path, no ghost columns) ----------
@@ -351,35 +387,28 @@ class GaussSeidel:
 
         for _ in range(self.iterations):
             for order in orders:
-                key = ("gs_masked", self, tuple(order), has_cg)
+                key = ("gs_sorted", self, tuple(order), has_cg)
                 if has_cg:
                     def make_f(order=order):
-                        def f(xo, xg, cplan, colors, invd, dg, oo, oh, bo):
+                        def f(xo, xg, cplan, tabs, bo):
                             g = cplan.apply(xo, xg, "set")
-                            xo2 = self._sweep_once(
-                                xo, g, colors, invd, dg, oo, oh, bo, order
-                            )
+                            xo2 = self._sweep_once(xo, g, bo, tabs, order)
                             return xo2, g
 
                         return f
 
                     xo, xg = backend.spmd_cached(key, make_f)(
-                        xo, xg, clay.consistent_plan,
-                        self.colors, self.inv_diag, self.diag,
-                        dev.oo, dev.oh, b.own,
+                        xo, xg, clay.consistent_plan, self.color_tabs, b.own
                     )
                 else:
                     def make_f(order=order):
-                        def f(xo, xg, colors, invd, dg, oo, oh, bo):
-                            return self._sweep_once(
-                                xo, xg, colors, invd, dg, oo, oh, bo, order
-                            )
+                        def f(xo, xg, tabs, bo):
+                            return self._sweep_once(xo, xg, bo, tabs, order)
 
                         return f
 
                     xo = backend.spmd_cached(key, make_f)(
-                        xo, xg, self.colors, self.inv_diag, self.diag,
-                        dev.oo, dev.oh, b.own,
+                        xo, xg, self.color_tabs, b.own
                     )
         return PVector(xo, x.ghost, x.layout, backend)
 
