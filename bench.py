@@ -127,6 +127,48 @@ def spmv_bench():
     return gbs, nnz / dt, dt, nrows, nnz
 
 
+def amg_cycle_bench():
+    """Smoothed-aggregation AMG V-cycle on the 64^3 7-pt Laplacian
+    (structured box-aggregation path: all levels stay DIA stencils)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.pvector import PVector, pzeros
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+    from partitionedarrays_tpu.solvers.krylov import cg
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    I, J, V, rows, cols = laplacian_fdm((64, 64, 64), (1, 1, 1), dtype=np.float32)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)
+    t0 = time.perf_counter()
+    M = AMGPreconditioner(A, AMGParams(coarse_size=200))
+    t_setup = time.perf_counter() - t0
+    rlay = A.row_layout()
+    b = pzeros(A.row_prange, backend, dtype=jnp.float32)
+    b = PVector(b.own.at[:, :10].set(1.0), b.ghost, b.layout, backend)
+
+    def make_loop(k):
+        @jax.jit
+        def run(M, own):
+            def body(i, own):
+                r = PVector(
+                    own, jnp.zeros((1, rlay.n_ghost_pad), jnp.float32), rlay, backend
+                )
+                return M(r).own * 0.5
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt = slope_time_per_iter(make_loop, (M, b.own), k_small=2, k_big=10)
+    x, info = cg(A, b, M=M, rtol=1e-8, maxiter=100)
+    return dt, t_setup, int(info.iterations)
+
+
 def hpcg_rating():
     from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
 
@@ -154,6 +196,11 @@ def main():
         hpcg_gf, hpcg_gbs, hpcg_res = hpcg_rating()
     except Exception:
         hpcg_gf = hpcg_gbs = hpcg_res = None
+    try:
+        amg_dt, amg_setup, amg_iters = amg_cycle_bench()
+        amg_ms, amg_setup_s = round(amg_dt * 1e3, 3), round(amg_setup, 1)
+    except Exception:
+        amg_ms = amg_setup_s = amg_iters = None
     result = {
         "metric": "hpcg27_spmv_bandwidth",
         "value": round(gbs, 2),
@@ -169,6 +216,9 @@ def main():
             "hpcg_gflops_raw": hpcg_gf,
             "hpcg_gbs_model": hpcg_gbs,
             "hpcg_final_relres": hpcg_res,
+            "amg64_vcycle_ms": amg_ms,
+            "amg64_setup_s": amg_setup_s,
+            "amg64_cg_iters_1e8": amg_iters,
         },
     }
     print(json.dumps(result))

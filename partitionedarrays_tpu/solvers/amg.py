@@ -135,6 +135,66 @@ def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0, block_size: int = 
     return aggs, coarse
 
 
+def _detect_box(offsets, n_own: int):
+    """If ``offsets`` form a tensor-product stencil on a C-ordered
+    (nx, ny, nz) box with n_own = nx*ny*nz (strides ny*nz, nz, 1 and taps
+    within the 1-ring), return the box shape, else None."""
+    offs = sorted({abs(int(o)) for o in offsets if o != 0})
+    if not offs or n_own <= 0:
+        return None
+    cands = sorted(set(offs) | {n_own})
+    for s3 in cands:
+        if n_own % s3:
+            continue
+        for s2 in [c for c in cands if c <= s3 and s3 % c == 0]:
+            ok = all(
+                any(
+                    o == a * s3 + b * s2 + c
+                    for a in (-1, 0, 1)
+                    for b in (-1, 0, 1)
+                    for c in (-1, 0, 1)
+                )
+                for o in offsets
+            )
+            if ok:
+                return (n_own // s3, s3 // s2, s2)
+    return None
+
+
+def box_aggregate_psparse(A: PSparseMatrix):
+    """Structured 3x3x3 box aggregation for tensor-stencil (DIA) operators
+    (the geometric specialization of Vanek aggregation on C-ordered box
+    partitions: aggregates are the standard diameter-3 blocks, numbered in
+    C-order so every coarse operator is again a constant-offset stencil —
+    which keeps the colored-DIA smoother fast path live on ALL levels).
+
+    Returns (aggs, coarse PRange, per-part (fine_shape, coarse_shape)) or
+    None when the operator is not a recognizable box stencil."""
+    dev_oo = A.device().oo
+    if dev_oo.kind != "dia":
+        return None
+    aggs, shapes, counts = [], [], []
+    for li in A.row_prange.partition():
+        shape = _detect_box(dev_oo.offsets, li.n_own)
+        if shape is None:
+            return None
+        nx, ny, nz = shape
+        nxc, nyc, nzc = -(-nx // 3), -(-ny // 3), -(-nz // 3)
+        x, y, z = np.meshgrid(
+            np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+        )
+        agg = ((x // 3) * nyc + (y // 3)) * nzc + (z // 3)
+        aggs.append(agg.reshape(-1).astype(np.int64))
+        shapes.append(((nx, ny, nz), (nxc, nyc, nzc)))
+        counts.append(nxc * nyc * nzc)
+    if len(set(shapes)) != 1:
+        # per-part boxes differ: the batched structured transfers need one
+        # static shape across parts — fall back to generic aggregation
+        return None
+    coarse = PRange(variable_partition(counts))
+    return aggs, coarse, shapes[0]
+
+
 # ---------------------------------------------------------------------------
 # prolongators (host)
 # ---------------------------------------------------------------------------
@@ -220,8 +280,11 @@ def spectral_radius(A: PSparseMatrix, Dinv: sp.spmatrix, iters: int = 20) -> flo
 
 
 def smoothed_prolongator(
-    A: PSparseMatrix, P0: PSparseMatrix, omega: Optional[float] = None
-) -> PSparseMatrix:
+    A: PSparseMatrix,
+    P0: PSparseMatrix,
+    omega: Optional[float] = None,
+    return_omega: bool = False,
+):
     """P = (I - omega D^-1 A) P0 (parity: smoothed_prolongator,
     amg.jl:474-481; omega default 4/(3 rho), amg.jl:483-521)."""
     G = to_global_scipy(A)
@@ -236,7 +299,8 @@ def smoothed_prolongator(
     from ..psparse import psparse_from_global
 
     cols = PRange([li.remove_ghost() for li in P0.col_prange.partition()])
-    return psparse_from_global(GP.tocsr(), P0.row_prange, cols, A.backend)
+    P = psparse_from_global(GP.tocsr(), P0.row_prange, cols, A.backend)
+    return (P, float(omega)) if return_omega else P
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +312,11 @@ class AMGLevel:
     A: PSparseMatrix
     P: Optional[PSparseMatrix]  # None on the coarsest level
     smoother: Optional[GaussSeidel]
+    # structured-transfer data for box-aggregated stencil levels:
+    # (fine_shape, coarse_shape, omega, dinv_device) — lets the cycle apply
+    # P = (I - omega D^-1 A) P0 as upsample/pool + one DIA SpMV (no
+    # gathers) instead of the materialized ELL P (gather-bound on TPU)
+    struct: Optional[tuple] = None
 
 
 @dataclass
@@ -290,21 +359,51 @@ class AMGPreconditioner:
         for l in range(params.max_levels - 1):
             if current.shape[0] <= params.coarse_size:
                 break
+            struct_shapes = None
             if reuse_aggregates:
                 if l >= len(self._aggs):
                     break
-                aggs, coarse = self._aggs[l]
+                aggs, coarse, struct_shapes = self._aggs[l]
             else:
-                aggs, coarse = aggregate_psparse(current, params.epsilon, bs)
-                self._aggs.append((aggs, coarse))
+                res = (
+                    box_aggregate_psparse(current)
+                    if params.epsilon == 0 and bs == 1 and ns is None
+                    else None
+                )
+                if res is not None:
+                    aggs, coarse, struct_shapes = res
+                else:
+                    aggs, coarse = aggregate_psparse(current, params.epsilon, bs)
+                self._aggs.append((aggs, coarse, struct_shapes))
             P0, ns, coarse_dofs = tentative_prolongator(current, aggs, coarse, ns)
             # coarse level has n_modes dofs per aggregate-node
             bs = len(ns[0]) if ns is not None else 1
-            P = smoothed_prolongator(current, P0, params.omega)
+            P, omega_used = smoothed_prolongator(
+                current, P0, params.omega, return_omega=True
+            )
             R = transpose_psparse(P)
             Ac = rap(R, current, P)
+            struct = None
+            if struct_shapes is not None:
+                lay = current.row_layout()
+                diag_parts = [b["oo"].diagonal() for b in current.blocks]
+                from ..backends import stack_parts
+
+                dg = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
+                dinv = np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+                struct = (
+                    struct_shapes[0],
+                    struct_shapes[1],
+                    omega_used,
+                    current.backend.shard(jnp.asarray(dinv, dtype=current.dtype)),
+                )
             self.levels.append(
-                AMGLevel(current, P, GaussSeidel(current, params.smoother_iters, "symmetric"))
+                AMGLevel(
+                    current,
+                    P,
+                    GaussSeidel(current, params.smoother_iters, "symmetric"),
+                    struct,
+                )
             )
             if Ac.shape[0] >= current.shape[0]:
                 # aggregation stalled; stop coarsening
@@ -358,6 +457,57 @@ class AMGPreconditioner:
         )
         return PVector(own, jnp.zeros_like(b.ghost), lay, b.backend)
 
+    # -- structured transfers (box-aggregated stencil levels) ----------
+    def _restrict_struct(self, level: AMGLevel, r: PVector, cl) -> PVector:
+        """rc = P^T r = P0^T (r - omega A D^-1 r): one DIA SpMV + a 3^d box
+        sum-pool — no gathers."""
+        (fx, fy, fz), (cx, cy, cz), omega, dinv = level.struct
+        A = level.A
+        clay = A.col_layout()
+        t = PVector(
+            r.own * dinv,
+            jnp.zeros((r.own.shape[0], clay.n_ghost_pad), r.own.dtype),
+            clay,
+            r.backend,
+        )
+        u = spmv(A, t)
+        v = r.own - omega * u.own
+        P = v.shape[0]
+        f3 = v[:, : fx * fy * fz].reshape(P, fx, fy, fz)
+        f3 = jnp.pad(
+            f3,
+            ((0, 0), (0, 3 * cx - fx), (0, 3 * cy - fy), (0, 3 * cz - fz)),
+        )
+        c = f3.reshape(P, cx, 3, cy, 3, cz, 3).sum(axis=(2, 4, 6))
+        rc_own = _pad2(c.reshape(P, -1), cl.n_own_pad)
+        return PVector(
+            rc_own,
+            jnp.zeros((P, cl.n_ghost_pad), rc_own.dtype),
+            cl,
+            r.backend,
+        )
+
+    def _prolong_struct(self, level: AMGLevel, ec: PVector) -> jnp.ndarray:
+        """e = P ec = w - omega D^-1 A w with w = P0 ec (3^d upsample):
+        one DIA SpMV — no gathers.  Returns the own values of e."""
+        (fx, fy, fz), (cx, cy, cz), omega, dinv = level.struct
+        A = level.A
+        P = ec.own.shape[0]
+        c3 = ec.own[:, : cx * cy * cz].reshape(P, cx, cy, cz)
+        f3 = jnp.repeat(jnp.repeat(jnp.repeat(c3, 3, axis=1), 3, axis=2), 3, axis=3)
+        f3 = f3[:, :fx, :fy, :fz]
+        lay = A.row_layout()
+        w_own = _pad2(f3.reshape(P, -1), lay.n_own_pad)
+        clay = A.col_layout()
+        wv = PVector(
+            w_own,
+            jnp.zeros((P, clay.n_ghost_pad), w_own.dtype),
+            clay,
+            ec.backend,
+        )
+        u = spmv(A, wv)
+        return w_own - omega * (dinv * u.own)
+
     # -- cycle ---------------------------------------------------------
     def _cycle(self, l: int, b: PVector, w: bool) -> PVector:
         level = self.levels[l]
@@ -365,22 +515,28 @@ class AMGPreconditioner:
             return self._coarse_solve(b)
         x = level.smoother(b)  # zero-guess pre-smooth
         r = _residual_vec(level.A, b, x)
-        rc = spmtv(level.P, _row_view(level.P, r))
         cl = self.levels[l + 1].A.row_layout()
-        rc = PVector(
-            rc.own[:, : cl.n_own_pad] if rc.own.shape[1] >= cl.n_own_pad else _pad2(rc.own, cl.n_own_pad),
-            jnp.zeros((rc.own.shape[0], cl.n_ghost_pad), rc.own.dtype),
-            cl,
-            b.backend,
-        )
+        if level.struct is not None:
+            rc = self._restrict_struct(level, r, cl)
+        else:
+            rc = spmtv(level.P, _row_view(level.P, r))
+            rc = PVector(
+                rc.own[:, : cl.n_own_pad] if rc.own.shape[1] >= cl.n_own_pad else _pad2(rc.own, cl.n_own_pad),
+                jnp.zeros((rc.own.shape[0], cl.n_ghost_pad), rc.own.dtype),
+                cl,
+                b.backend,
+            )
         ec = self._cycle(l + 1, rc, w)
         if w and self.levels[l + 1].P is not None:
             # W-cycle: recurse again with the improved residual
             rc2 = _residual_vec(self.levels[l + 1].A, rc, ec)
             ec2 = self._cycle(l + 1, rc2, w)
             ec = PVector(ec.own + ec2.own, ec.ghost, ec.layout, ec.backend)
-        e = spmv(level.P, _col_view(level.P, ec))
-        x = PVector(x.own + e.own, x.ghost, x.layout, x.backend)
+        if level.struct is not None:
+            e_own = self._prolong_struct(level, ec)
+        else:
+            e_own = spmv(level.P, _col_view(level.P, ec)).own
+        x = PVector(x.own + e_own, x.ghost, x.layout, x.backend)
         return level.smoother.apply(x, b)  # post-smooth
 
     def __call__(self, r: PVector) -> PVector:

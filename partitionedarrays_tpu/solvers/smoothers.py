@@ -163,9 +163,19 @@ class GaussSeidel:
             from .gs_dia import ColoredDIAGS, find_mod_coloring
 
             if find_mod_coloring(dev_oo.offsets) is not None:
-                vals_np = (
-                    host_dia[1] if host_dia is not None else np.asarray(dev_oo.vals)
-                )
+                if host_dia is not None:
+                    vals_np = host_dia[1]
+                else:
+                    # rebuild the DIA values host-side from the scipy
+                    # blocks: fetching dev_oo.vals from a remote device
+                    # is prohibitively slow over a tunnel
+                    from ..ops.dia import stack_dia
+
+                    vals_np = stack_dia(
+                        [b["oo"].tocsr() for b in A.blocks],
+                        lay.n_own_pad,
+                        np.asarray(dev_oo.offsets, dtype=np.int64),
+                    )
                 self.colored = ColoredDIAGS(
                     dev_oo.offsets, vals_np, diag, values_dtype=values_dtype
                 )

@@ -74,7 +74,7 @@ def test_amg_update_fixed_sparsity(backend4):
     A = build_fdm(backend4, (16, 16), (2, 2))
     x_exact, b = manufactured(A, backend4)
     M = amg(A, AMGParams(coarse_size=20))
-    aggs_before = [a for a, _ in M._aggs]
+    aggs_before = [entry[0] for entry in M._aggs]
     # scale the operator values: same sparsity, different values
     from partitionedarrays_tpu import psparse
     from partitionedarrays_tpu.parallel.p_range import PRange
@@ -87,12 +87,41 @@ def test_amg_update_fixed_sparsity(backend4):
         backend4, assembled=True,
     )
     M.update(A2)
-    for a0, (a1, _) in zip(aggs_before, M._aggs):
-        assert a0 is a1  # aggregation really was reused
+    for a0, entry in zip(aggs_before, M._aggs):
+        assert a0 is entry[0]  # aggregation really was reused
     x2_exact, b2 = manufactured(A2, backend4)
     x, info = cg(A2, b2, M=M, rtol=1e-10, maxiter=200)
     assert np.linalg.norm(collect(x) - x2_exact) < 1e-5
     assert int(info.iterations) <= 25
+
+
+def test_amg_structured_box_aggregation(backend4):
+    """Stencil (DIA) operators take the box-aggregation path: every level
+    stays a constant-offset stencil (colored-DIA smoother fast path) and
+    the transfers apply P as upsample/pool + one SpMV."""
+    A = build_fdm(backend4, (18, 18), (2, 2))
+    x_exact, b = manufactured(A, backend4)
+    M = amg(A, AMGParams(coarse_size=10))
+    assert M.levels[0].struct is not None
+    (fsh, csh, omega, dinv) = M.levels[0].struct
+    assert fsh == (1, 9, 9) or fsh == (9, 9, 1) or fsh == (9, 9)
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=100)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+    assert int(info.iterations) <= 25
+    # structured transfers must equal the materialized P action
+    from partitionedarrays_tpu.psparse import spmtv
+    from partitionedarrays_tpu.solvers.amg import _row_view
+
+    lev = M.levels[0]
+    cl = M.levels[1].A.row_layout()
+    rc_struct = M._restrict_struct(lev, b, cl)
+    rc_mat = spmtv(lev.P, _row_view(lev.P, b))
+    n0 = min(rc_struct.own.shape[1], rc_mat.own.shape[1])
+    assert np.allclose(
+        np.asarray(rc_struct.own)[:, :n0],
+        np.asarray(rc_mat.own)[:, :n0],
+        atol=1e-5,
+    )
 
 
 def test_amg_wcycle(backend4):
