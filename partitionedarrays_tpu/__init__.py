@@ -209,7 +209,7 @@ from .block_arrays import (
 )
 
 # -- solvers (L6) -----------------------------------------------------------
-from .solvers.krylov import CGInfo, cg, richardson_iteration
+from .solvers.krylov import CGInfo, cg, pipelined_cg, richardson_iteration
 from .solvers.smoothers import (
     AdditiveSchwarz,
     GaussSeidel,

@@ -83,6 +83,82 @@ def _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter):
     return x, CGInfo(k, rnorm)
 
 
+def pipelined_cg(
+    A: PSparseMatrix,
+    b: PVector,
+    x0: Optional[PVector] = None,
+    M: Optional[Callable[[PVector], PVector]] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+):
+    """Pipelined preconditioned CG (Ghysels & Vanroose 2014).
+
+    Mathematically equivalent to :func:`cg` (up to rounding) but the two
+    global reductions of an iteration are data-independent of the
+    preconditioner application and the SpMV that follow them, so on a
+    multi-chip mesh XLA overlaps the psum latency with compute — the
+    standard CG serializes dot -> axpy -> SpMV.  Prefer this at scale
+    where reduction latency (DCN) dominates; extra cost is 4 more vector
+    updates per iteration.  Returns (x, CGInfo)."""
+    if x0 is None:
+        x0 = pzeros(A.row_prange, b.backend, dtype=b.own.dtype)
+    else:
+        x0 = _as_row_vector(A, x0)
+    Mfn = M if M is not None else (lambda r: r)
+    if not isinstance(b.own, jax.core.Tracer):
+        run = jax.jit(
+            lambda b, x0: _pipecg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
+        )
+        return run(b, x0)
+    return _pipecg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
+
+
+def _pipecg_loop(A, b, x0, Mfn, rtol, atol, maxiter):
+    def Aop(v):
+        return _as_row_vector(A, spmv(A, _as_col_vector(A, v)))
+
+    r = _residual(A, b, x0)
+    u = Mfn(r)
+    w = Aop(u)
+    rnorm0 = pnorm(r)
+    tol = jnp.maximum(rtol * rnorm0, atol)
+    zero = PVector(
+        jnp.zeros_like(r.own), jnp.zeros_like(r.ghost), r.layout, r.backend
+    )
+    gamma0 = pdot(r, u)
+
+    def cond(state):
+        k, x, r, u, w, z, q, p, s, gamma, alpha, rnorm = state
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(state):
+        k, x, r, u, w, z, q, p, s, gamma_old, alpha_old, rnorm = state
+        gamma = pdot(r, u)
+        delta = pdot(w, u)
+        m = Mfn(w)
+        n = Aop(m)
+        beta = jnp.where(k == 0, 0.0, gamma / gamma_old)
+        denom = delta - beta * gamma / jnp.where(k == 0, 1.0, alpha_old)
+        alpha = gamma / jnp.where(k == 0, delta, denom)
+        z = _combine(n, beta, z)
+        q = _combine(m, beta, q)
+        p = _combine(u, beta, p)
+        s = _combine(w, beta, s)
+        x = axpy(alpha, p, x)
+        r = axpy(-alpha, s, r)
+        u = axpy(-alpha, q, u)
+        w = axpy(-alpha, z, w)
+        return (k + 1, x, r, u, w, z, q, p, s, gamma, alpha, pnorm(r))
+
+    state = (
+        jnp.int32(0), x0, r, u, w, zero, zero, zero, zero,
+        gamma0, jnp.ones((), r.own.dtype), rnorm0,
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out[1], CGInfo(out[0], out[-1])
+
+
 def _combine(z: PVector, beta, p: PVector) -> PVector:
     return PVector(z.own + beta * p.own, z.ghost + beta * p.ghost, p.layout, p.backend)
 

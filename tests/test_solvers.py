@@ -143,3 +143,18 @@ def test_pcg_with_preconditioners(backend4):
     # additive schwarz (exact local solves) must be a strong preconditioner
     x, info = cg(A, b, M=AdditiveSchwarz(A), rtol=1e-10, maxiter=1000)
     assert int(info.iterations) < base_iters
+
+
+def test_pipelined_cg_matches_cg(backend4):
+    from partitionedarrays_tpu.solvers.krylov import pipelined_cg
+
+    A = build_fdm(backend4)
+    x_exact, b = manufactured_rhs(A, backend4)
+    x1, i1 = cg(A, b, rtol=1e-10, maxiter=500)
+    x2, i2 = pipelined_cg(A, b, rtol=1e-10, maxiter=500)
+    assert np.linalg.norm(collect(x2) - collect(x1)) < 1e-6
+    assert abs(int(i2.iterations) - int(i1.iterations)) <= 5
+    # with a preconditioner
+    M = JacobiCorrection(A)
+    x3, i3 = pipelined_cg(A, b, M=M, rtol=1e-10, maxiter=500)
+    assert np.linalg.norm(collect(x3) - collect(x1)) < 1e-6
