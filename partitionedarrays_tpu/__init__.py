@@ -199,13 +199,20 @@ from .block_arrays import (
     BMatrix,
     BRange,
     BVector,
+    b_all,
+    b_any,
     b_assemble,
     b_axpy,
+    b_cg,
     b_collect,
     b_consistent,
     b_dot,
+    b_euclidean,
+    b_maximum,
+    b_minimum,
     b_mul,
     b_norm,
+    b_sum,
 )
 
 # -- solvers (L6) -----------------------------------------------------------

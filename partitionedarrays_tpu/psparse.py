@@ -250,6 +250,75 @@ class PSparseMatrix:
         self._device_T = None
         self._oo_dia_host = None
 
+    # -- local (blockwise) algebra --------------------------------------
+    # Parity: scalar/additive matrix ops used blockwise by block_arrays.jl
+    # tests (2*A, +A, -A, B+A, B-A) and `I - A` (src/p_sparse_matrix.jl:2309).
+    # These are purely local: partitions are unchanged, scipy handles the
+    # per-part sparse algebra on host, the device freeze is rebuilt lazily.
+    def _map_blocks(self, f) -> "PSparseMatrix":
+        new_blocks = []
+        for b in self.blocks:
+            nb = {k: (f(v) if v is not None else None) for k, v in b.items()}
+            new_blocks.append(nb)
+        return PSparseMatrix(
+            new_blocks, self.row_prange, self.col_prange, self.backend, self.assembled
+        )
+
+    def _zip_blocks(self, other: "PSparseMatrix", f) -> "PSparseMatrix":
+        if (
+            other.row_prange is not self.row_prange
+            or other.col_prange is not self.col_prange
+        ) and other.shape != self.shape:
+            raise ValueError("matrix shapes/partitions do not match")
+        new_blocks = []
+        for ba, bb in zip(self.blocks, other.blocks):
+            nb = {}
+            for k in set(ba) | set(bb):
+                va, vb = ba.get(k), bb.get(k)
+                if va is None and vb is None:
+                    nb[k] = None
+                elif va is None:
+                    nb[k] = f(sp.csr_matrix(vb.shape, dtype=vb.dtype), vb)
+                elif vb is None:
+                    nb[k] = f(va, sp.csr_matrix(va.shape, dtype=va.dtype))
+                else:
+                    nb[k] = f(va, vb)
+            new_blocks.append(nb)
+        return PSparseMatrix(
+            new_blocks, self.row_prange, self.col_prange, self.backend, self.assembled
+        )
+
+    def copy(self) -> "PSparseMatrix":
+        return self._map_blocks(lambda m: m.copy())
+
+    def __mul__(self, a):
+        if not np.isscalar(a):
+            return NotImplemented
+        return self._map_blocks(lambda m: (m * a).tocsr())
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, a):
+        if not np.isscalar(a):
+            return NotImplemented
+        return self * (1.0 / a)
+
+    def __neg__(self):
+        return self * -1.0
+
+    def __pos__(self):
+        return self
+
+    def __add__(self, other):
+        if not isinstance(other, PSparseMatrix):
+            return NotImplemented
+        return self._zip_blocks(other, lambda a, b: (a + b).tocsr())
+
+    def __sub__(self, other):
+        if not isinstance(other, PSparseMatrix):
+            return NotImplemented
+        return self._zip_blocks(other, lambda a, b: (a - b).tocsr())
+
 
 # ---------------------------------------------------------------------------
 # construction
