@@ -140,6 +140,7 @@ class PSparseMatrix:
         # (ops/stencil.py): exact nnz, host copy of the own_own DIA values
         self._nnz_cache: Optional[int] = None
         self._oo_dia_host = None
+        self._dtype_cache = None
 
     # -- pytree protocol ----------------------------------------------
     def tree_flatten(self):
@@ -164,6 +165,10 @@ class PSparseMatrix:
 
     @property
     def dtype(self):
+        # cache set by closed-form constructors whose host 'oo' mirror is
+        # built lazily (ops/stencil.py) — a dtype query must not force it
+        if self._dtype_cache is not None:
+            return self._dtype_cache
         return self.blocks[0]["oo"].dtype
 
     def nnz(self) -> int:

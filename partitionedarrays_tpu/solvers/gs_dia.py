@@ -52,6 +52,38 @@ class ColoredDIAGS:
     block; all tables host-prepared once and frozen.
     """
 
+    def _plan(self, offsets: Tuple[int, ...], R: int):
+        """Static geometry shared by the host and device constructors."""
+        self.offsets = tuple(int(o) for o in offsets)
+        m = find_mod_coloring(self.offsets)
+        assert m is not None
+        self.m = m
+        self.R = R
+        L = -(-R // m)
+        # pad the row core so the Pallas color-update kernel gets large
+        # tiles (grid tile must divide Lq; see spmv_pallas._pick_tile)
+        tile = 16384 if L > 32768 else 1024
+        self.Lq = _round_up(max(L, 1), tile)
+        # max |de-interleaved row shift|
+        K = max((abs((c + o) // m) + 1 for o in self.offsets for c in range(m)), default=1)
+        self.Kp = _round_up(K, 1024)
+        self.Lp = self.Kp + self.Lq + self.Kp  # full row stride in flat buffer
+        self.n_flat = m * self.Lp
+        # static ABSOLUTE offsets per color: the color-c update computes
+        # ax[i] = sum_d vals_c[d, i] * xflat[offs_d + i] with
+        # offs_d = s_d*Lp + Kp + k_d >= 0 — literally a DIA SpMV into the
+        # flat buffer, reusing the roofline Pallas stencil kernel.
+        self.schedule = []
+        for c in range(m):
+            offs = []
+            for o in self.offsets:
+                j = c + o
+                s = j % m
+                k = (j - s) // m
+                offs.append(s * self.Lp + self.Kp + k)
+            self.schedule.append(tuple(offs))
+        self.max_abs_off = max(max(s) for s in self.schedule)
+
     def __init__(
         self,
         offsets: Tuple[int, ...],
@@ -59,24 +91,9 @@ class ColoredDIAGS:
         diag: np.ndarray,
         values_dtype=None,
     ):
-        self.offsets = tuple(int(o) for o in offsets)
-        m = find_mod_coloring(self.offsets)
-        assert m is not None
-        self.m = m
         P, n_off, R = vals.shape
-        self.R = R
-        L = -(-R // m)
-        # pad the row core so the Pallas color-update kernel gets large
-        # tiles (grid tile must divide Lq; see spmv_pallas._pick_tile)
-        tile = 16384 if L > 32768 else 1024
-        self.Lq = _round_up(max(L, 1), tile)
-        Lq = self.Lq
-        # max |de-interleaved row shift|
-        K = max((abs((c + o) // m) + 1 for o in self.offsets for c in range(m)), default=1)
-        self.Kp = _round_up(K, 1024)
-        self.Lp = self.Kp + Lq + self.Kp  # full row stride in the flat buffer
-        self.n_flat = m * self.Lp
-
+        self._plan(offsets, R)
+        m, Lq = self.m, self.Lq
         # de-interleave diagonal values: vals_d[P, m, n_off, Lq]
         Rq = m * Lq
         vp = np.zeros((P, n_off, Rq), dtype=vals.dtype)
@@ -93,20 +110,40 @@ class ColoredDIAGS:
         self.invd_d = jnp.asarray(
             np.ascontiguousarray(inv.reshape(P, Lq, m).transpose(0, 2, 1))
         )
-        # static ABSOLUTE offsets per color: the color-c update computes
-        # ax[i] = sum_d vals_c[d, i] * xflat[offs_d + i] with
-        # offs_d = s_d*Lp + Kp + k_d >= 0 — literally a DIA SpMV into the
-        # flat buffer, reusing the roofline Pallas stencil kernel.
-        self.schedule = []
-        for c in range(m):
-            offs = []
-            for o in self.offsets:
-                j = c + o
-                s = j % m
-                k = (j - s) // m
-                offs.append(s * self.Lp + self.Kp + k)
-            self.schedule.append(tuple(offs))
-        self.max_abs_off = max(max(s) for s in self.schedule)
+
+    @classmethod
+    def from_device(
+        cls,
+        offsets: Tuple[int, ...],
+        vals_dev,
+        diag_dev,
+        values_dtype=None,
+    ) -> "ColoredDIAGS":
+        """Build the sweep state WITHOUT touching the host: ``vals_dev``
+        [P, n_off, R] and ``diag_dev`` [P, R] stay device-resident and the
+        de-interleave reshuffle runs as one jitted XLA program.  This is
+        the setup path for closed-form stencil operators (ops/stencil.py)
+        where host materialization + H2D of the diagonal values would
+        dominate setup time (hundreds of MB per level at HPCG scales)."""
+        self = cls.__new__(cls)
+        P, n_off, R = (int(s) for s in vals_dev.shape)
+        self._plan(offsets, R)
+        m, Lq = self.m, self.Lq
+        Rq = m * Lq
+
+        @jax.jit
+        def _build(vals, diag):
+            vp = jnp.zeros((P, n_off, Rq), vals.dtype).at[:, :, :R].set(vals)
+            vals_d = vp.reshape(P, n_off, Lq, m).transpose(0, 3, 1, 2)
+            if values_dtype is not None:
+                vals_d = vals_d.astype(values_dtype)
+            dp = jnp.zeros((P, Rq), diag.dtype).at[:, :R].set(diag)
+            dd = dp.reshape(P, Lq, m).transpose(0, 2, 1)
+            inv = jnp.where(dd != 0, 1.0 / jnp.where(dd != 0, dd, 1.0), 0.0)
+            return vals_d, inv
+
+        self.vals_d, self.invd_d = _build(vals_dev, diag_dev)
+        return self
 
     # -- de/interleave (per-part, traceable) --------------------------
     def deinterleave(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -140,20 +140,6 @@ class GaussSeidel:
         self.sweep = sweep
         lay = A.row_layout()
         self.layout = lay
-        # host copy of the own_own DIA values: structured constructors stash
-        # it (ops/stencil.py), saving a large device->host fetch at setup
-        host_dia = getattr(A, "_oo_dia_host", None)
-        if host_dia is not None:
-            offs, vals_np = host_dia
-            k0 = offs.index(0) if 0 in offs else None
-            diag = (
-                np.array(vals_np[:, k0, :])
-                if k0 is not None
-                else np.zeros(vals_np[:, 0, :].shape, vals_np.dtype)
-            )
-        else:
-            diag_parts = [b["oo"].diagonal() for b in A.blocks]
-            diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
         # fast path: banded own_own block -> mod-m colored DIA sweep
         # (one-SpMV-cost true GS, see gs_dia.py)
         self.colored = None
@@ -163,26 +149,28 @@ class GaussSeidel:
             from .gs_dia import ColoredDIAGS, find_mod_coloring
 
             if find_mod_coloring(dev_oo.offsets) is not None:
-                if host_dia is not None:
-                    vals_np = host_dia[1]
-                else:
-                    # rebuild the DIA values host-side from the scipy
-                    # blocks: fetching dev_oo.vals from a remote device
-                    # is prohibitively slow over a tunnel
-                    from ..ops.dia import stack_dia
+                # device-resident build: the frozen DIA values already live
+                # on device, so the de-interleave reshuffle runs as one XLA
+                # program — no host materialization, no second H2D copy
+                # (critical over a tunneled TPU at HPCG scales)
+                import jax.numpy as jnp
 
-                    vals_np = stack_dia(
-                        [b["oo"].tocsr() for b in A.blocks],
-                        lay.n_own_pad,
-                        np.asarray(dev_oo.offsets, dtype=np.int64),
-                    )
-                self.colored = ColoredDIAGS(
-                    dev_oo.offsets, vals_np, diag, values_dtype=values_dtype
+                offs = dev_oo.offsets
+                k0 = offs.index(0) if 0 in offs else None
+                diag_dev = (
+                    dev_oo.vals[:, k0, :]
+                    if k0 is not None
+                    else jnp.zeros_like(dev_oo.vals[:, 0, :])
+                )
+                self.colored = ColoredDIAGS.from_device(
+                    offs, dev_oo.vals, diag_dev, values_dtype=values_dtype
                 )
                 self.colored.vals_d = A.backend.shard(self.colored.vals_d)
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
         if self.colored is None:
+            diag_parts = [b["oo"].diagonal() for b in A.blocks]
+            diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
             # general fallback: SORTED-BY-COLOR true GS.  Each color's rows
             # get their own sliced ELL sub-blocks, so one sweep costs one
             # full-SpMV worth of gathers (a masked formulation would cost
