@@ -114,6 +114,12 @@ def jacobi(A, b, x, iterations: int = 1, omega: float = 1.0) -> PVector:
     )
 
 
+def _host_oo_missing(A) -> bool:
+    """True when some host 'oo' mirror is an unmaterialized lazy thunk
+    (ops/stencil.py) — don't force it just to build a smoother."""
+    return any(not dict.__contains__(b, "oo") for b in A.blocks)
+
+
 class GaussSeidel:
     """Hybrid multicolor Gauss-Seidel smoother.
 
@@ -149,22 +155,52 @@ class GaussSeidel:
             from .gs_dia import ColoredDIAGS, find_mod_coloring
 
             if find_mod_coloring(dev_oo.offsets) is not None:
-                # device-resident build: the frozen DIA values already live
-                # on device, so the de-interleave reshuffle runs as one XLA
-                # program — no host materialization, no second H2D copy
-                # (critical over a tunneled TPU at HPCG scales)
-                import jax.numpy as jnp
-
                 offs = dev_oo.offsets
-                k0 = offs.index(0) if 0 in offs else None
-                diag_dev = (
-                    dev_oo.vals[:, k0, :]
-                    if k0 is not None
-                    else jnp.zeros_like(dev_oo.vals[:, 0, :])
+                vals_bytes = int(
+                    np.prod(dev_oo.vals.shape) * dev_oo.vals.dtype.itemsize
                 )
-                self.colored = ColoredDIAGS.from_device(
-                    offs, dev_oo.vals, diag_dev, values_dtype=values_dtype
-                )
+                host_dia = getattr(A, "_oo_dia_host", None)
+                if vals_bytes > 64 << 20 or (
+                    host_dia is None and _host_oo_missing(A)
+                ):
+                    # device-resident build: the frozen DIA values already
+                    # live on device, so the de-interleave reshuffle runs as
+                    # one XLA program — no host materialization, no second
+                    # H2D copy (critical over a tunneled TPU at HPCG scales)
+                    import jax.numpy as jnp
+
+                    k0 = offs.index(0) if 0 in offs else None
+                    diag_dev = (
+                        dev_oo.vals[:, k0, :]
+                        if k0 is not None
+                        else jnp.zeros_like(dev_oo.vals[:, 0, :])
+                    )
+                    self.colored = ColoredDIAGS.from_device(
+                        offs, dev_oo.vals, diag_dev, values_dtype=values_dtype
+                    )
+                else:
+                    # small blocks: the host build avoids a per-shape jit
+                    # compile round-trip (which dominates at coarse-AMG
+                    # sizes over a tunneled TPU)
+                    if host_dia is not None:
+                        vals_np = host_dia[1]
+                    else:
+                        from ..ops.dia import stack_dia
+
+                        vals_np = stack_dia(
+                            [b["oo"].tocsr() for b in A.blocks],
+                            lay.n_own_pad,
+                            np.asarray(offs, dtype=np.int64),
+                        )
+                    k0 = offs.index(0) if 0 in offs else None
+                    diag = (
+                        np.array(vals_np[:, k0, :])
+                        if k0 is not None
+                        else np.zeros(vals_np[:, 0, :].shape, vals_np.dtype)
+                    )
+                    self.colored = ColoredDIAGS(
+                        offs, vals_np, diag, values_dtype=values_dtype
+                    )
                 self.colored.vals_d = A.backend.shard(self.colored.vals_d)
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
