@@ -312,6 +312,7 @@ from .compat import (
     ghost_own_values,
     ghost_values,
     global_to_owner,
+    laplace_matrix,
     local_values,
     own_ghost_values,
     own_own_values,

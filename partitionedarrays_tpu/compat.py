@@ -225,3 +225,35 @@ def assembly_graph(pr_or_partition):
     if isinstance(pr_or_partition, PRange):
         return pr_or_partition.assembly_graph()
     return PRange(list(pr_or_partition)).assembly_graph()
+
+
+def laplace_matrix(nodes_per_dir, parts_per_dir=None, backend=None, dtype=np.float64):
+    """Parity: PartitionedArrays.laplace_matrix
+    (src/p_sparse_matrix.jl:2628-2707; deprecated upstream in favor of the
+    gallery's laplacian_fdm): the UNSCALED (2D+1)-point Laplacian — diag
+    2*D, off-diagonals -1, zero Dirichlet outside the box.
+
+    Sequential form (one argument) returns a scipy CSR; the distributed
+    form returns an assembled PSparseMatrix.  Node numbering is C-order
+    (this framework's convention throughout; the reference numbers
+    F-order — same operator up to a symmetric permutation).
+    """
+    from .models.gallery import laplacian_fdm
+    from .psparse import psparse
+
+    nodes = tuple(int(n) for n in nodes_per_dir)
+    alpha = np.prod([n + 1 for n in nodes]).astype(dtype)
+    if parts_per_dir is None:
+        import scipy.sparse as sp
+
+        from .ops.sparse_host import compresscoo
+
+        I, J, V, rows, cols = laplacian_fdm(nodes, (1,) * len(nodes), dtype=dtype)
+        n = int(np.prod(nodes))
+        return compresscoo(
+            np.concatenate(I), np.concatenate(J), np.concatenate(V) / alpha, n, n
+        )
+    assert backend is not None, "distributed laplace_matrix needs a backend"
+    I, J, V, rows, cols = laplacian_fdm(nodes, parts_per_dir, dtype=dtype)
+    V = [v / alpha for v in V]
+    return psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)

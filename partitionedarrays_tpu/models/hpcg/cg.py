@@ -58,3 +58,74 @@ def hpcg_cg(
         0, iterations, body, (x, r, p, rz, norms)
     )
     return x, norms
+
+
+def hpcg_cg_flat(mg, b: PVector, iterations: int = 50):
+    """PCG with every vector living in the GS de-interleaved FLAT space.
+
+    Single-part-per-chip fast path (valid when the finest level smooths in
+    flat space): the A-apply is the fused flat-space Pallas DIA kernel,
+    the MG preconditioner runs via ``apply_flat`` (its input is a zero-cost
+    VIEW of the flat residual), and dots/axpys are permutation- and
+    zero-padding-invariant, so they run directly on the flat buffers.
+    Standard row order appears exactly twice per solve: b in, x out —
+    eliminating the per-iteration layout transforms that dominated the
+    V-cycle wall clock (2.5 ms/cycle of XLA relayout copies at 128^3).
+    """
+    gs = mg.gss[-1]
+    col = gs.colored
+    backend = b.backend
+    lay = b.layout
+
+    to_flat = backend.spmd_cached(
+        ("cgf_toflat", col),
+        lambda: (lambda o: col.to_flat(col.deinterleave(o))),
+    )
+    core = backend.spmd_cached(
+        ("cgf_core", col),
+        lambda: (
+            lambda xf: jax.lax.dynamic_slice(
+                xf, (col.Kp,), (col.m * col.Lq,)
+            ).reshape(col.m, col.Lq)
+        ),
+    )
+    ax = backend.axis_name()
+    dot = backend.spmd_cached(
+        ("cgf_dot", col),
+        lambda: (lambda a, b: jax.lax.psum(jnp.vdot(a, b), ax)),
+    )
+
+    bf = to_flat(b.own)
+    x = jnp.zeros_like(bf)
+    r = bf
+    norm0 = jnp.sqrt(dot(r, r)[0])
+    z = mg.apply_flat(core(r))
+    p = z
+    rz = dot(r, z)[0]
+
+    def body(k, state):
+        x, r, p, rz, norms = state
+        Ap = gs.flat_ax(p)
+        pAp = dot(p, Ap)[0]
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = mg.apply_flat(core(r))
+        rz_new = dot(r, z)[0]
+        beta = rz_new / rz
+        p = z + beta * p
+        norms = norms.at[k + 1].set(jnp.sqrt(dot(r, r)[0]))
+        return (x, r, p, rz_new, norms)
+
+    norms = jnp.zeros((iterations + 1,), dtype=bf.dtype).at[0].set(norm0)
+    x, r, p, rz, norms = jax.lax.fori_loop(
+        0, iterations, body, (x, r, p, rz, norms)
+    )
+    x_own = gs.flat_interleave(x)
+    xv = PVector(
+        x_own,
+        jnp.zeros((x_own.shape[0], lay.n_ghost_pad), x_own.dtype),
+        lay,
+        backend,
+    )
+    return xv, norms

@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .cg import hpcg_cg
+from .cg import hpcg_cg, hpcg_cg_flat
 from .mg import HPCGMGPreconditioner
 from .opt3d import compute_optimal_shape_xyz
 from .report import HPCGReport
@@ -65,9 +65,14 @@ def hpcg_benchmark(
         )
     A, b = mg.A, mg.b
 
+    use_flat = mg.flat_viable()
+
     @jax.jit
     def one_set(A, mg, b):
-        x, norms = hpcg_cg(A, b, M=mg, iterations=iterations)
+        if use_flat:
+            x, norms = hpcg_cg_flat(mg, b, iterations=iterations)
+        else:
+            x, norms = hpcg_cg(A, b, M=mg, iterations=iterations)
         return x.own, norms
 
     # compile (counted as optimization time, like the reference's opt phase)
@@ -110,7 +115,10 @@ def hpcg_benchmark(
                 bs = PVector(
                     b.own * scale, b.ghost * scale, b.layout, b.backend
                 )
-                x, norms = hpcg_cg(A, bs, M=mg, iterations=iterations)
+                if use_flat:
+                    x, norms = hpcg_cg_flat(mg, bs, iterations=iterations)
+                else:
+                    x, norms = hpcg_cg(A, bs, M=mg, iterations=iterations)
                 new_scale = 1.0 + norms[-1] / norms[0] * 1e-12
                 return (new_scale, norms / scale)
 

@@ -168,27 +168,51 @@ class HPCGMGPreconditioner:
             x = PVector(x.own + corr, x.ghost, x.layout, self.backend)
             return gs.apply(x, b)  # post-smooth
 
-        # flat pipeline: x stays in the de-interleaved sweep space across
-        # pre-smooth -> coarse correction -> post-smooth; interleave only
-        # where standard order is consumed (the Axf SpMV, the output)
+        # flat pipeline: enter the de-interleaved sweep space once and run
+        # the whole V-cycle there (see _cycle_flat_bd)
         rlay = A.row_layout()
-        bd = gs.make_bd(b)                      # shared by pre and post
-        xflat = gs.smooth_bd(None, bd)          # zero-guess pre-smooth
+        bd = gs.make_bd(b)
+        xflat = self._cycle_flat_bd(l, bd)
         x_own = gs.flat_interleave(xflat)
-        x = PVector(
+        return PVector(
             x_own,
             jnp.zeros((x_own.shape[0], rlay.n_ghost_pad), x_own.dtype),
             rlay,
             self.backend,
         )
-        Axf = spmv(A, _col_view(A, x), dev=self.devs_pc[l])
-        rc = self._restrict(l, b.own - Axf.own)
-        xc = self._cycle(l - 1, rc)
-        corr = self._prolong(l, xc.own, x_own.shape[1])
+
+    def flat_viable(self) -> bool:
+        return self.gss[-1].flat_viable()
+
+    def apply_flat(self, bd) -> jnp.ndarray:
+        """The preconditioner acting entirely in the de-interleaved space:
+        takes the de-interleaved residual bd (P, m, Lq), returns the flat
+        correction buffer (P, n_flat).  Used by the flat-space CG — no
+        full-size layout transforms at the preconditioner boundary."""
+        return self._cycle_flat_bd(self.n_levels - 1, bd)
+
+    def _cycle_flat_bd(self, l: int, bd) -> jnp.ndarray:
+        """V-cycle below the interleave boundary.  x and the smoothing all
+        live in the de-interleaved space; standard order appears only for
+        the level transfer (residual interleave at the FINE size, then the
+        coarse-level transforms cost 1/8th of that)."""
+        gs = self.gss[l]
+        xflat = gs.smooth_bd(None, bd)          # zero-guess pre-smooth
+        if l == 0:
+            return xflat                        # coarsest: smooth-only
+        rd = gs.flat_residual(xflat, bd)        # (P, m, Lq), fused Ax
+        r_std = gs.flat_interleave_core(rd)     # (P, n_own_pad)
+        rc = self._restrict(l, r_std)
+        gs_c = self.gss[l - 1]
+        if gs_c.flat_viable():
+            bd_c = gs_c.make_bd(rc)             # coarse-size transform
+            xfc = self._cycle_flat_bd(l - 1, bd_c)
+            xc_own = gs_c.flat_interleave(xfc)  # coarse-size transform
+        else:
+            xc_own = self._cycle(l - 1, rc).own
+        corr = self._prolong(l, xc_own, r_std.shape[1])
         xflat = gs.flat_add_std(xflat, corr)
-        xflat = gs.smooth_bd(xflat, bd)         # post-smooth
-        x_own = gs.flat_interleave(xflat)
-        return PVector(x_own, x.ghost, rlay, self.backend)
+        return gs.smooth_bd(xflat, bd)          # post-smooth
 
     def __call__(self, r: PVector) -> PVector:
         return self._cycle(self.n_levels - 1, r)

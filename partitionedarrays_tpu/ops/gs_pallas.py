@@ -123,6 +123,72 @@ def _kernel(
         cp.wait()
 
 
+def _ax_kernel(
+    schedule: Tuple[Tuple[int, ...], ...],
+    m: int,
+    T: int,
+    vals_ref,  # VMEM [1, n_off, T] of this color
+    x_ref,  # VMEM whole flat x
+    y_ref,  # VMEM [1, 1, T] out block
+):
+    c = pl.program_id(0)
+    j = pl.program_id(1)
+    jT = pl.multiple_of(j * T, T)
+    for cc in range(m):
+
+        @pl.when(c == cc)
+        def _compute(cc=cc):
+            offs = schedule[cc]
+            widen = vals_ref.dtype != x_ref.dtype
+            acc = None
+            for d, off in enumerate(offs):
+                q = (off // ALIGN) * ALIGN
+                r = off - q
+                W = x_ref[pl.ds(jT + q, T + ALIGN)]
+                seg = jax.lax.slice(W, (r,), (r + T,))
+                v = vals_ref[0, d, :]
+                if widen:
+                    v = v.astype(x_ref.dtype)
+                term = v * seg
+                acc = term if acc is None else acc + term
+            y_ref[0, 0, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("schedule",))
+def ax_flat_pallas(vals_d, xflat, *, schedule):
+    """Full own_own @ x in the de-interleaved space, ONE kernel launch:
+    out[c, i] = sum_d vals_d[c, d, i] * xflat[schedule[c][d] + i].
+    Same HBM traffic as one standard DIA SpMV (vals once, x once)."""
+    m, n_off, Lq = vals_d.shape
+    T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
+    assert T, "ax_flat_pallas: no valid tile (check viability first)"
+    kernel = functools.partial(_ax_kernel, schedule, m, T)
+    y3 = pl.pallas_call(
+        kernel,
+        grid=(m, Lq // T),
+        in_specs=[
+            pl.BlockSpec((1, n_off, T), lambda c, j: (c, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole flat x
+        ],
+        out_specs=pl.BlockSpec((1, 1, T), lambda c, j: (c, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, 1, Lq), xflat.dtype),
+    )(vals_d, xflat)
+    return y3[:, 0, :]
+
+
+def ax_flat_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bool:
+    return (
+        itemsize <= 4
+        and _pick_tile(Lq, n_off, itemsize) != 0
+        and (n_flat + ALIGN) * itemsize <= MAX_X_VMEM_BYTES
+    )
+
+
+# x windows in _ax_kernel reach up to max_off + jT + T + ALIGN; the flat
+# buffer's tail margin (gs_dia._plan) already covers this
+MAX_X_VMEM_BYTES = 12 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("schedule", "order", "Lp", "Kp")
 )

@@ -182,6 +182,42 @@ class LocalIndices:
         self.global_to_owner = global_to_owner
         self._cache = {}
 
+    @classmethod
+    def from_local(
+        cls,
+        n_global: int,
+        part: int,
+        n_parts: int,
+        local_to_global,
+        local_to_owner,
+        global_to_owner: Optional[Callable] = None,
+    ) -> "LocalIndices":
+        """Reference-style mixed-order constructor: LocalIndices(n, part,
+        local_to_global, local_to_owner) (src/p_range.jl:1100-1210) —
+        own and ghost ids interleaved in an arbitrary local order.  Splits
+        into own/ghost blocks and records the local permutation."""
+        l2g = _as1d(local_to_global)
+        l2o = _as1d(local_to_owner)
+        is_own = l2o == int(part)
+        own_pos = np.flatnonzero(is_own)
+        ghost_pos = np.flatnonzero(~is_own)
+        # perm maps local position -> position in concat(own, ghost)
+        perm = np.empty(l2g.shape[0], dtype=INT)
+        perm[own_pos] = np.arange(own_pos.size, dtype=INT)
+        perm[ghost_pos] = own_pos.size + np.arange(ghost_pos.size, dtype=INT)
+        if np.array_equal(perm, np.arange(l2g.shape[0], dtype=INT)):
+            perm = None
+        return cls(
+            n_global,
+            part,
+            n_parts,
+            l2g[own_pos],
+            l2g[ghost_pos],
+            l2o[ghost_pos],
+            perm=perm,
+            global_to_owner=global_to_owner,
+        )
+
     # -- sizes --------------------------------------------------------
     @property
     def n_own(self) -> int:

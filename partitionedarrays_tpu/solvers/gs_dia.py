@@ -67,8 +67,19 @@ class ColoredDIAGS:
         # max |de-interleaved row shift|
         K = max((abs((c + o) // m) + 1 for o in self.offsets for c in range(m)), default=1)
         self.Kp = _round_up(K, 1024)
-        self.Lp = self.Kp + self.Lq + self.Kp  # full row stride in flat buffer
-        self.n_flat = m * self.Lp
+        # CONTIGUOUS core layout: rows have NO per-row margins (Lp == Lq);
+        # the flat buffer is [Kp zeros | row0..row_{m-1} back to back | tail
+        # zeros].  Safe because any tap that strays outside its target
+        # row's core multiplies a PROVABLY ZERO diagonal value (a valid
+        # entry A[j, j+o] has j+o in [0, R), which lands inside the target
+        # core by construction) — only memory-safety margins are needed at
+        # the two buffer ends.  This makes to_flat a pure copy and
+        # from_flat a single aligned slice (the old per-row-margin layout
+        # cost ~0.8 ms per transform at HPCG 128^3 in strided relayouts).
+        self.Lp = self.Lq  # row stride == row length
+        # tail: Kp covers positive shifts, +1024 covers the fused kernel's
+        # aligned-window overread (gs_pallas reads [q, q+T+ALIGN))
+        self.n_flat = self.Kp + m * self.Lq + self.Kp + 1024
         # static ABSOLUTE offsets per color: the color-c update computes
         # ax[i] = sum_d vals_c[d, i] * xflat[offs_d + i] with
         # offs_d = s_d*Lp + Kp + k_d >= 0 — literally a DIA SpMV into the
@@ -154,14 +165,21 @@ class ColoredDIAGS:
         return xp.reshape(Lq, m).T
 
     def to_flat(self, xd: jnp.ndarray) -> jnp.ndarray:
-        """xd[m, Lq] -> zero-padded flat buffer [m*Lp] (+ tail headroom)."""
-        m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
-        buf = jnp.zeros((m, Lp), xd.dtype).at[:, Kp : Kp + Lq].set(xd)
-        return jnp.concatenate([buf.reshape(-1), jnp.zeros((Kp,), xd.dtype)])
+        """xd[m, Lq] -> flat buffer [n_flat]: pure contiguous copy between
+        the two end margins."""
+        m, Lq, Kp = self.m, self.Lq, self.Kp
+        tail = self.n_flat - Kp - m * Lq
+        return jnp.concatenate(
+            [
+                jnp.zeros((Kp,), xd.dtype),
+                xd.reshape(-1),
+                jnp.zeros((tail,), xd.dtype),
+            ]
+        )
 
     def from_flat(self, xflat: jnp.ndarray) -> jnp.ndarray:
-        m, Lq, Kp, Lp = self.m, self.Lq, self.Kp, self.Lp
-        xd = xflat[: m * Lp].reshape(m, Lp)[:, Kp : Kp + Lq]
+        m, Lq, Kp = self.m, self.Lq, self.Kp
+        xd = jax.lax.dynamic_slice(xflat, (Kp,), (m * Lq,)).reshape(m, Lq)
         return xd.T.reshape(m * Lq)[: self.R]
 
     # -- the sweep -----------------------------------------------------
@@ -198,6 +216,29 @@ class ColoredDIAGS:
             xnew = xrow + (bd[c] - ax) * invd_d[c]
             xflat = jax.lax.dynamic_update_slice(xflat, xnew, (start,))
         return xflat
+
+    def ax_flat(
+        self, xflat: jnp.ndarray, vals_d: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Full A_own_own @ x in the de-interleaved layout: row block c of
+        the result is the color-c DIA SpMV into the flat buffer — one pass
+        over the diagonal values total (same volume as a standard SpMV),
+        with NO interleave back to standard order.  Lets the V-cycle and
+        the flat-space CG compute A-applies without leaving the sweep
+        space."""
+        from .. import config
+        from ..ops.dia import dia_spmv
+        from ..ops.gs_pallas import ax_flat_pallas, ax_flat_pallas_viable
+
+        n_flat = xflat.shape[0]
+        if config.pallas_enabled() and ax_flat_pallas_viable(
+            n_flat, self.Lq, len(self.offsets), xflat.dtype.itemsize
+        ):
+            return ax_flat_pallas(vals_d, xflat, schedule=tuple(self.schedule))
+        rows = []
+        for c in range(self.m):
+            rows.append(dia_spmv(self.schedule[c], vals_d[c], xflat, n_flat))
+        return jnp.stack(rows)
 
     def sweeps_flat(
         self,

@@ -302,7 +302,7 @@ class GaussSeidel:
         if xflat is None:
             def make_f():
                 def f(bd, vals_d, invd_d):
-                    xf = jnp.zeros((col.m * col.Lp + col.Kp,), bd.dtype)
+                    xf = jnp.zeros((col.n_flat,), bd.dtype)
                     return col.sweeps_flat(xf, bd, vals_d, invd_d, order_seq)
 
                 return f
@@ -320,6 +320,51 @@ class GaussSeidel:
         return backend.spmd_cached(("gs_smooth_bd", col, order_seq), make_f)(
             xflat, bd, col.vals_d, col.invd_d
         )
+
+    def flat_residual(self, xflat, bd):
+        """Residual (bd - A_oo x) of the CURRENT flat x, as (m, Lq) per
+        part.  ``bd`` already folds the frozen ghost-column contribution,
+        so this is the true level residual under the hybrid
+        (processor-block) smoothing semantics — computed without leaving
+        the de-interleaved space (one fused Pallas launch)."""
+        col = self.colored
+
+        def make_f():
+            def f(xf, bd, vals_d):
+                return bd - col.ax_flat(xf, vals_d)
+
+            return f
+
+        return self.A.backend.spmd_cached(("gs_flat_resid", col), make_f)(
+            xflat, bd, col.vals_d
+        )
+
+    def flat_ax(self, xflat):
+        """A_own_own @ x in the de-interleaved space, returned as a full
+        flat buffer (margins zero) — the A-apply for a flat-space CG."""
+        col = self.colored
+
+        def make_f():
+            def f(xf, vals_d):
+                return col.to_flat(col.ax_flat(xf, vals_d))
+
+            return f
+
+        return self.A.backend.spmd_cached(("gs_flat_ax", col), make_f)(
+            xflat, col.vals_d
+        )
+
+    def flat_interleave_core(self, rd):
+        """(m, Lq) core -> standard own order (P, n_own_pad)."""
+        col = self.colored
+
+        def make_f():
+            def f(rd):
+                return rd.T.reshape(-1)[: col.R]
+
+            return f
+
+        return self.A.backend.spmd_cached(("gs_il_core", col), make_f)(rd)
 
     def flat_interleave(self, xflat):
         """Stacked flat x -> standard own values (P, n_own_pad)."""
@@ -381,7 +426,7 @@ class GaussSeidel:
                     # skip the x de-interleave entirely (parity: the
                     # zero_guess fast path, smoothers.jl:207-302)
                     return jnp.zeros(
-                        (col.m * col.Lp + col.Kp,), dtype=bo.dtype
+                        (col.n_flat,), dtype=bo.dtype
                     )
                 return col.to_flat(col.deinterleave(xo))
 

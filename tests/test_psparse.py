@@ -215,3 +215,90 @@ def test_psystem(backend4):
     A, b = psystem(Is, Js, Vs, Ib, Vb, pr, pr, backend4)
     assert np.allclose(collect(b), 1.0)
     assert A.shape == (n, n)
+
+
+def test_filtered_negative_ids(backend4):
+    """Entries with negative row/col ids are dropped (reference:
+    FilteredCooVector src/sparse_utils.jl:370-390; exercised with invalid
+    ids in test/p_sparse_matrix_tests.jl:306-319)."""
+    n = 10
+    pr = PRange(uniform_partition(4, n))
+    Is = [np.array(v) for v in ([0, 1, 0, 1, 1], [2, 2, 3, 5, -1], [4, 4, 5, 6], [8, 8, 7, 9, 5, -2])]
+    Js = [np.array(v) for v in ([1, 5, 0, 1, 0], [2, 8, 3, 1, -1], [6, 5, 5, 6], [8, 2, 7, 9, 4, 0])]
+    Vs = [
+        np.array(v, dtype=np.float64)
+        for v in (
+            [1.0, 2.0, 30.0, 10.0, 1.0],
+            [10.0, 2.0, 30.0, 2.0, 2.0],
+            [10.0, 2.0, 30.0, 1.0],
+            [10.0, 2.0, 30.0, 50.0, 2.0, 1.0],
+        )
+    ]
+    A = psparse(Is, Js, Vs, pr, pr, backend4)
+    I = np.concatenate([i[(i >= 0) & (j >= 0)] for i, j in zip(Is, Js)])
+    J = np.concatenate([j[(i >= 0) & (j >= 0)] for i, j in zip(Is, Js)])
+    V = np.concatenate([v[(i >= 0) & (j >= 0)] for i, j, v in zip(Is, Js, Vs)])
+    E = sp.coo_matrix((V, (I, J)), shape=(n, n)).tocsr()
+    assert abs(centralize(A) - E).max() == 0
+
+
+def test_matrix_consistent(backend4):
+    """consistent: assembled -> overlapped (ghost rows fetched from their
+    owners; reference: consistent, src/p_sparse_matrix.jl:1821-2040)."""
+    from partitionedarrays_tpu.psparse import consistent_matrix
+
+    n = 24
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    rows_co = A.col_prange  # fetch the rows matching my ghost columns
+    B = consistent_matrix(A, rows_co).wait()
+    E = global_laplacian(n)
+    for b, li_r, li_c in zip(
+        B.blocks, B.row_prange.partition(), B.col_prange.partition()
+    ):
+        cols = np.concatenate([li_c.own_to_global, li_c.ghost_to_global])
+        own = sp.hstack([b["oo"], b["oh"]]).tocsr()
+        exp_own = E[li_r.own_to_global][:, cols]
+        assert abs(own - exp_own).max() < 1e-14
+        if li_r.n_ghost:
+            assert b.get("ho") is not None
+            gh = sp.hstack(
+                [b["ho"], b["hh"] if b.get("hh") is not None else
+                 sp.csr_matrix((li_r.n_ghost, li_c.n_ghost))]
+            ).tocsr()
+            exp_gh = E[li_r.ghost_to_global][:, cols]
+            assert abs(gh - exp_gh).max() < 1e-14
+
+
+def test_scalar_ops_preserve_dtype(backend4):
+    """2*A, A*2, +A, -A, B+A, B-A keep the element type (reference:
+    test/p_sparse_matrix_tests.jl:458-470)."""
+    n = 16
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    for B in (2 * A, A * 2, +A, -A):
+        assert B.dtype == A.dtype
+    C = (2 * A) + A
+    assert C.dtype == A.dtype
+    C = (2 * A) - A
+    assert C.dtype == A.dtype
+    assert abs(centralize(2 * A) - 2 * centralize(A)).max() == 0
+    assert abs(centralize((2 * A) - A) - centralize(A)).max() < 1e-14
+
+
+def test_laplace_matrix_compat(backend4):
+    """Deprecated-name parity: laplace_matrix
+    (src/p_sparse_matrix.jl:2628-2707) — unscaled FDM Laplacian, both the
+    sequential and the distributed form."""
+    from partitionedarrays_tpu.compat import laplace_matrix
+
+    nodes = (5, 5)
+    A_seq = laplace_matrix(nodes)
+    assert A_seq.shape == (25, 25)
+    assert A_seq.diagonal().max() == 4.0  # 2*D, unscaled
+    A = laplace_matrix(nodes, (2, 2), backend4)
+    assert abs(centralize(A) - A_seq).max() < 1e-13
+    d = dense_diag(A)
+    assert np.allclose(collect(d), A_seq.diagonal().ravel())

@@ -140,3 +140,65 @@ def test_repartition(backend4):
     pr2 = PRange(variable_partition([2, 8, 4, 6]))
     y = repartition(x, pr2)
     assert np.allclose(collect(y), np.arange(20, dtype=np.float64))
+
+
+def test_reference_exact_consistent_assemble(backend4):
+    """The reference's arbitrary overlapping LocalIndices scenario with
+    exact expected local values (test/p_vector_tests.jl:95-143, shifted
+    to 0-based ids)."""
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.parallel.p_range import LocalIndices
+    from partitionedarrays_tpu.pvector import PVector, assemble, consistent
+
+    n = 10
+    specs = [
+        ([0, 1, 2, 4, 6, 7], [0, 0, 0, 1, 2, 2]),
+        ([1, 3, 4, 9], [0, 1, 1, 3]),
+        ([5, 6, 7, 4, 3, 9], [2, 2, 2, 1, 1, 3]),
+        ([0, 2, 6, 8, 9], [0, 0, 2, 3, 3]),
+    ]
+    parts = [
+        LocalIndices.from_local(n, p, 4, np.array(g), np.array(o))
+        for p, (g, o) in enumerate(specs)
+    ]
+    pr = PRange(parts)
+    x = pvector_from_own(
+        [np.full(li.n_own, 10.0 * (p + 1)) for p, li in enumerate(parts)],
+        pr,
+        backend4,
+        dtype=np.float64,
+    )
+    x = consistent(x).wait()
+    # every local value equals 10 * (owner + 1)
+    for li, loc in zip(parts, x.local_values()):
+        exp = 10.0 * (np.asarray(li.local_to_owner()) + 1)
+        assert np.array_equal(np.asarray(loc), exp)
+
+    # fill ALL local values with 10, assemble: owners accumulate one 10
+    # per holder, ghosts zeroed (reference expected locals :131-142)
+    lay = x.layout
+    P = len(parts)
+    gh = np.zeros((P, max(lay.n_ghost_pad, 1)))
+    own = np.zeros((P, lay.n_own_pad))
+    for p, li in enumerate(parts):
+        own[p, : li.n_own] = 10.0
+        gh[p, : li.n_ghost] = 10.0
+    y = PVector(
+        backend4.shard(jnp.asarray(own)),
+        backend4.shard(jnp.asarray(gh)),
+        lay,
+        backend4,
+    )
+    y = assemble(y).wait()
+    expected = [
+        [20.0, 20.0, 20.0, 0.0, 0.0, 0.0],
+        [0.0, 20.0, 30.0, 0.0],
+        [10.0, 30.0, 20.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0, 30.0],
+    ]
+    for loc, exp in zip(y.local_values(), expected):
+        assert np.array_equal(np.asarray(loc), np.array(exp))
+    assert np.array_equal(
+        collect(y), np.array([20.0, 20, 20, 20, 30, 10, 30, 20, 10, 30])
+    )
