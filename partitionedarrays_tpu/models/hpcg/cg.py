@@ -77,29 +77,17 @@ def hpcg_cg_flat(mg, b: PVector, iterations: int = 50):
     backend = b.backend
     lay = b.layout
 
-    to_flat = backend.spmd_cached(
-        ("cgf_toflat", col),
-        lambda: (lambda o: col.to_flat(col.deinterleave(o))),
-    )
-    core = backend.spmd_cached(
-        ("cgf_core", col),
-        lambda: (
-            lambda xf: jax.lax.dynamic_slice(
-                xf, (col.Kp,), (col.m * col.Lq,)
-            ).reshape(col.m, col.Lq)
-        ),
-    )
     ax = backend.axis_name()
     dot = backend.spmd_cached(
         ("cgf_dot", col),
         lambda: (lambda a, b: jax.lax.psum(jnp.vdot(a, b), ax)),
     )
 
-    bf = to_flat(b.own)
+    bf = gs.make_bd(b)  # (P, m, Lq) core — the only std->flat transform
     x = jnp.zeros_like(bf)
     r = bf
     norm0 = jnp.sqrt(dot(r, r)[0])
-    z = mg.apply_flat(core(r))
+    z = mg.apply_flat(r)
     p = z
     rz = dot(r, z)[0]
 
@@ -110,7 +98,7 @@ def hpcg_cg_flat(mg, b: PVector, iterations: int = 50):
         alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
-        z = mg.apply_flat(core(r))
+        z = mg.apply_flat(r)
         rz_new = dot(r, z)[0]
         beta = rz_new / rz
         p = z + beta * p

@@ -65,24 +65,24 @@ def _kernel(
     T: int,
     n_steps: int,
     nseg: int,
+    n_flat: int,
     order_ref,  # scalar-prefetch: color per step (drives the index maps)
     vals_ref,  # VMEM [1, n_off, T] of this step's color
     bd_ref,  # VMEM [1, T]
     invd_ref,  # VMEM [1, T]
-    xin_ref,  # ANY (HBM) flat x in
-    xout_ref,  # ANY (HBM) flat x out
-    xs_ref,  # VMEM scratch: flat x, resident across the whole call
+    xin_ref,  # ANY (HBM) core x in, flattened (m*Lq,)
+    xout_ref,  # ANY (HBM) core x out
+    xs_ref,  # VMEM scratch: flat x (with margins), resident across the call
     sem_in,
     sem_out,
 ):
     step = pl.program_id(0)
     j = pl.program_id(1)
+    core = nseg * T * len(schedule)
 
     @pl.when((step == 0) & (j == 0))
     def _load():
-        cp = pltpu.make_async_copy(xin_ref, xs_ref, sem_in)
-        cp.start()
-        cp.wait()
+        _load_core_to_scratch(xin_ref, xs_ref, sem_in, Kp, core, n_flat)
 
     jT = pl.multiple_of(j * T, T)
     done = set()
@@ -118,62 +118,109 @@ def _kernel(
 
     @pl.when((step == n_steps - 1) & (j == nseg - 1))
     def _store():
-        cp = pltpu.make_async_copy(xs_ref, xout_ref, sem_out)
+        cp = pltpu.make_async_copy(
+            xs_ref.at[pl.ds(Kp, core)], xout_ref, sem_out
+        )
         cp.start()
         cp.wait()
+
+
+# x scratch for the core kernels must fit VMEM alongside streamed blocks
+MAX_X_VMEM_BYTES = 11 * 1024 * 1024
+
+
+def _load_core_to_scratch(xin_ref, xs_ref, sem, Kp: int, core: int, n_flat: int):
+    """Zero the margins of the flat scratch and DMA the (m*Lq) core into
+    position Kp.  The margins make every tap's aligned window load safe;
+    their VALUES are never used with a nonzero coefficient (see
+    gs_dia._plan layout notes)."""
+    xs_ref[pl.ds(0, Kp)] = jnp.zeros((Kp,), xs_ref.dtype)
+    tail = n_flat - Kp - core
+    xs_ref[pl.ds(Kp + core, tail)] = jnp.zeros((tail,), xs_ref.dtype)
+    cp = pltpu.make_async_copy(xin_ref, xs_ref.at[pl.ds(Kp, core)], sem)
+    cp.start()
+    cp.wait()
 
 
 def _ax_kernel(
     schedule: Tuple[Tuple[int, ...], ...],
     m: int,
     T: int,
+    Kp: int,
+    n_flat: int,
     vals_ref,  # VMEM [1, n_off, T] of this color
-    x_ref,  # VMEM whole flat x
+    xin_ref,  # ANY (HBM) core x, flattened (m*Lq,)
     y_ref,  # VMEM [1, 1, T] out block
+    xs_ref,  # VMEM scratch: flat x with margins
+    sem_in,
 ):
     c = pl.program_id(0)
     j = pl.program_id(1)
+    Lq = T * pl.num_programs(1)
+
+    @pl.when((c == 0) & (j == 0))
+    def _load():
+        _load_core_to_scratch(xin_ref, xs_ref, sem_in, Kp, m * Lq, n_flat)
+
     jT = pl.multiple_of(j * T, T)
     for cc in range(m):
 
         @pl.when(c == cc)
         def _compute(cc=cc):
             offs = schedule[cc]
-            widen = vals_ref.dtype != x_ref.dtype
+            widen = vals_ref.dtype != xs_ref.dtype
             acc = None
             for d, off in enumerate(offs):
                 q = (off // ALIGN) * ALIGN
                 r = off - q
-                W = x_ref[pl.ds(jT + q, T + ALIGN)]
+                W = xs_ref[pl.ds(jT + q, T + ALIGN)]
                 seg = jax.lax.slice(W, (r,), (r + T,))
                 v = vals_ref[0, d, :]
                 if widen:
-                    v = v.astype(x_ref.dtype)
+                    v = v.astype(xs_ref.dtype)
                 term = v * seg
                 acc = term if acc is None else acc + term
             y_ref[0, 0, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("schedule",))
-def ax_flat_pallas(vals_d, xflat, *, schedule):
-    """Full own_own @ x in the de-interleaved space, ONE kernel launch:
-    out[c, i] = sum_d vals_d[c, d, i] * xflat[schedule[c][d] + i].
-    Same HBM traffic as one standard DIA SpMV (vals once, x once)."""
+@functools.partial(jax.jit, static_argnames=("schedule", "Kp", "n_flat"))
+def ax_core_pallas(vals_d, xcore, *, schedule, Kp, n_flat):
+    """Full own_own @ x in the de-interleaved space, ONE kernel launch,
+    core-in core-out: out[c, i] = sum_d vals_d[c, d, i] * x[tap].  Same
+    HBM traffic as one standard DIA SpMV (vals once, x once) — no padded
+    flat buffers materialize outside the kernel."""
     m, n_off, Lq = vals_d.shape
     T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
-    assert T, "ax_flat_pallas: no valid tile (check viability first)"
-    kernel = functools.partial(_ax_kernel, schedule, m, T)
-    y3 = pl.pallas_call(
-        kernel,
-        grid=(m, Lq // T),
-        in_specs=[
-            pl.BlockSpec((1, n_off, T), lambda c, j: (c, 0, j)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole flat x
-        ],
-        out_specs=pl.BlockSpec((1, 1, T), lambda c, j: (c, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((m, 1, Lq), xflat.dtype),
-    )(vals_d, xflat)
-    return y3[:, 0, :]
+    assert T, "ax_core_pallas: no valid tile (check viability first)"
+    kernel = functools.partial(_ax_kernel, schedule, m, T, Kp, n_flat)
+
+    @jax.custom_batching.custom_vmap
+    def run(vals_d, xflat1d):
+        y3 = pl.pallas_call(
+            kernel,
+            grid=(m, Lq // T),
+            in_specs=[
+                pl.BlockSpec((1, n_off, T), lambda c, j: (c, 0, j)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, T), lambda c, j: (c, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((m, 1, Lq), xflat1d.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n_flat,), xflat1d.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(vals_d, xflat1d)
+        return y3[:, 0, :]
+
+    @run.def_vmap
+    def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        return jax.lax.map(lambda t: run(*t), args), True
+
+    return run(vals_d, xcore.reshape(-1))
 
 
 def ax_flat_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bool:
@@ -184,28 +231,25 @@ def ax_flat_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bo
     )
 
 
-# x windows in _ax_kernel reach up to max_off + jT + T + ALIGN; the flat
-# buffer's tail margin (gs_dia._plan) already covers this
-MAX_X_VMEM_BYTES = 12 * 1024 * 1024
-
-
 @functools.partial(
-    jax.jit, static_argnames=("schedule", "order", "Lp", "Kp")
+    jax.jit, static_argnames=("schedule", "order", "Lp", "Kp", "n_flat")
 )
-def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
-    """Run the color sequence ``order`` of GS updates on the flat
-    de-interleaved x.  vals_d [m, n_off, Lq]; bd/invd_d [m, Lq];
-    xflat [n_flat].  Returns the updated xflat."""
+def gs_sweep_pallas(
+    vals_d, bd, invd_d, xcore, *, schedule, order, Lp, Kp, n_flat
+):
+    """Run the color sequence ``order`` of GS updates on the de-interleaved
+    x, core-in core-out.  vals_d [m, n_off, Lq]; bd/invd_d [m, Lq];
+    xcore [m, Lq] (or None semantics handled by the caller with zeros).
+    The margin-padded flat working buffer exists only as VMEM scratch."""
     m, n_off, Lq = vals_d.shape
     T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
     assert T, "gs_sweep_pallas: no valid tile (check viability first)"
     nseg = Lq // T
     n_steps = len(order)
-    n_flat = xflat.shape[0]
     order_arr = jnp.asarray(np.array(order, dtype=np.int32))
 
     kernel = functools.partial(
-        _kernel, schedule, order, Lp, Kp, T, n_steps, nseg
+        _kernel, schedule, order, Lp, Kp, T, n_steps, nseg, n_flat
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -220,7 +264,7 @@ def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((n_flat,), xflat.dtype),
+            pltpu.VMEM((n_flat,), xcore.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -231,12 +275,13 @@ def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
     # (SerialBackend, P parts on one device) run the kernel per part with
     # lax.map — parts execute sequentially on one core either way.
     @jax.custom_batching.custom_vmap
-    def run(ordr, vals_d, bd3, invd3, xflat):
-        return pl.pallas_call(
+    def run(ordr, vals_d, bd3, invd3, xflat1d):
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_flat,), xflat.dtype),
-        )(ordr, vals_d, bd3, invd3, xflat)
+            out_shape=jax.ShapeDtypeStruct((m * Lq,), xflat1d.dtype),
+        )(ordr, vals_d, bd3, invd3, xflat1d)
+        return out.reshape(m, Lq)
 
     @run.def_vmap
     def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
@@ -248,4 +293,7 @@ def gs_sweep_pallas(vals_d, bd, invd_d, xflat, *, schedule, order, Lp, Kp):
         )
         return jax.lax.map(lambda t: run(*t), args), True
 
-    return run(order_arr, vals_d, bd[:, None, :], invd_d[:, None, :], xflat)
+    return run(
+        order_arr, vals_d, bd[:, None, :], invd_d[:, None, :],
+        xcore.reshape(-1),
+    )

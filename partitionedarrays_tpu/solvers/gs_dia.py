@@ -217,59 +217,67 @@ class ColoredDIAGS:
             xflat = jax.lax.dynamic_update_slice(xflat, xnew, (start,))
         return xflat
 
-    def ax_flat(
-        self, xflat: jnp.ndarray, vals_d: jnp.ndarray
-    ) -> jnp.ndarray:
-        """Full A_own_own @ x in the de-interleaved layout: row block c of
-        the result is the color-c DIA SpMV into the flat buffer — one pass
-        over the diagonal values total (same volume as a standard SpMV),
-        with NO interleave back to standard order.  Lets the V-cycle and
-        the flat-space CG compute A-applies without leaving the sweep
-        space."""
+    # -- core API (the preferred form: no padded buffers outside kernels) --
+    def zeros_core(self, dtype) -> jnp.ndarray:
+        return jnp.zeros((self.m, self.Lq), dtype)
+
+    def core_of_flat(self, xflat: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.dynamic_slice(
+            xflat, (self.Kp,), (self.m * self.Lq,)
+        ).reshape(self.m, self.Lq)
+
+    def interleave_core(self, xcore: jnp.ndarray) -> jnp.ndarray:
+        """(m, Lq) core -> standard own order [R]."""
+        return xcore.T.reshape(self.m * self.Lq)[: self.R]
+
+    def ax_core(self, xcore: jnp.ndarray, vals_d: jnp.ndarray) -> jnp.ndarray:
+        """A_own_own @ x in the de-interleaved layout, core-in core-out
+        (one fused Pallas launch; one pass over the diagonal values)."""
         from .. import config
         from ..ops.dia import dia_spmv
-        from ..ops.gs_pallas import ax_flat_pallas, ax_flat_pallas_viable
+        from ..ops.gs_pallas import ax_core_pallas, ax_flat_pallas_viable
 
-        n_flat = xflat.shape[0]
         if config.pallas_enabled() and ax_flat_pallas_viable(
-            n_flat, self.Lq, len(self.offsets), xflat.dtype.itemsize
+            self.n_flat, self.Lq, len(self.offsets), xcore.dtype.itemsize
         ):
-            return ax_flat_pallas(vals_d, xflat, schedule=tuple(self.schedule))
-        rows = []
-        for c in range(self.m):
-            rows.append(dia_spmv(self.schedule[c], vals_d[c], xflat, n_flat))
+            return ax_core_pallas(
+                vals_d, xcore, schedule=tuple(self.schedule),
+                Kp=self.Kp, n_flat=self.n_flat,
+            )
+        xflat = self.to_flat(xcore)
+        rows = [
+            dia_spmv(self.schedule[c], vals_d[c], xflat, self.n_flat)
+            for c in range(self.m)
+        ]
         return jnp.stack(rows)
 
-    def sweeps_flat(
-        self,
-        xflat: jnp.ndarray,
-        bd: jnp.ndarray,
-        vals_d: jnp.ndarray,
-        invd_d: jnp.ndarray,
-        order_seq,
+    def sweeps_core(
+        self, xcore, bd, vals_d, invd_d, order_seq, dtype=None
     ) -> jnp.ndarray:
-        """Run a whole color sequence (possibly several sweeps).  Uses the
-        fused single-launch Pallas kernel when viable, else the per-color
-        composition."""
+        """Run a whole color sequence on the (m, Lq) core (``xcore=None``
+        means zero initial guess).  Fused single-launch Pallas kernel when
+        viable, else the per-color XLA composition on a padded buffer."""
         from .. import config
         from ..ops.gs_pallas import gs_sweep_pallas, gs_sweep_pallas_viable
 
         order_seq = tuple(int(c) for c in order_seq)
+        if xcore is None:
+            xcore = self.zeros_core(dtype if dtype is not None else bd.dtype)
         if config.pallas_enabled() and gs_sweep_pallas_viable(
-            xflat.shape[0], self.Lq, vals_d.shape[1], xflat.dtype.itemsize
+            self.n_flat, self.Lq, vals_d.shape[1], xcore.dtype.itemsize
         ):
             return gs_sweep_pallas(
-                vals_d, bd, invd_d, xflat,
+                vals_d, bd, invd_d, xcore,
                 schedule=tuple(self.schedule), order=order_seq,
-                Lp=self.Lp, Kp=self.Kp,
+                Lp=self.Lp, Kp=self.Kp, n_flat=self.n_flat,
             )
+        xflat = self.to_flat(xcore)
         m = self.m
-        # split the sequence back into per-sweep chunks of length m
         for s in range(0, len(order_seq), m):
             xflat = self.sweep_flat(
                 xflat, bd, vals_d, invd_d, order_seq[s : s + m]
             )
-        return xflat
+        return self.core_of_flat(xflat)
 
     def sweep(
         self,

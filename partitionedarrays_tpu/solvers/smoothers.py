@@ -302,8 +302,7 @@ class GaussSeidel:
         if xflat is None:
             def make_f():
                 def f(bd, vals_d, invd_d):
-                    xf = jnp.zeros((col.n_flat,), bd.dtype)
-                    return col.sweeps_flat(xf, bd, vals_d, invd_d, order_seq)
+                    return col.sweeps_core(None, bd, vals_d, invd_d, order_seq)
 
                 return f
 
@@ -313,7 +312,7 @@ class GaussSeidel:
 
         def make_f():
             def f(xf, bd, vals_d, invd_d):
-                return col.sweeps_flat(xf, bd, vals_d, invd_d, order_seq)
+                return col.sweeps_core(xf, bd, vals_d, invd_d, order_seq)
 
             return f
 
@@ -331,7 +330,7 @@ class GaussSeidel:
 
         def make_f():
             def f(xf, bd, vals_d):
-                return bd - col.ax_flat(xf, vals_d)
+                return bd - col.ax_core(xf, vals_d)
 
             return f
 
@@ -346,7 +345,7 @@ class GaussSeidel:
 
         def make_f():
             def f(xf, vals_d):
-                return col.to_flat(col.ax_flat(xf, vals_d))
+                return col.ax_core(xf, vals_d)
 
             return f
 
@@ -371,7 +370,7 @@ class GaussSeidel:
         col = self.colored
 
         def make_f():
-            return lambda xf: col.from_flat(xf)
+            return lambda xf: col.interleave_core(xf)
 
         return self.A.backend.spmd_cached(("gs_interleave", col), make_f)(xflat)
 
@@ -382,7 +381,7 @@ class GaussSeidel:
 
         def make_f():
             def f(xf, co):
-                return xf + col.to_flat(col.deinterleave(co))
+                return xf + col.deinterleave(co)
 
             return f
 
@@ -421,14 +420,12 @@ class GaussSeidel:
 
             zero_guess = getattr(x, "_zero_guess", False)
 
-            def _flat_x(xo, bo):
+            def _core_x(xo, bo):
                 if zero_guess:
                     # skip the x de-interleave entirely (parity: the
                     # zero_guess fast path, smoothers.jl:207-302)
-                    return jnp.zeros(
-                        (col.n_flat,), dtype=bo.dtype
-                    )
-                return col.to_flat(col.deinterleave(xo))
+                    return None
+                return col.deinterleave(xo)
 
             key_base = (
                 "gs_colored", col, tuple(order_seq), zero_guess, has_cg
@@ -439,9 +436,10 @@ class GaussSeidel:
                         g = cplan.apply(xo, xg, "set")
                         gc = oh.spmv(g)
                         bd = col.deinterleave(bo - gc)
-                        xflat = _flat_x(xo, bo)
-                        xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
-                        return col.from_flat(xflat), g
+                        xc = col.sweeps_core(
+                            _core_x(xo, bo), bd, vals_d, invd_d, order_seq
+                        )
+                        return col.interleave_core(xc), g
 
                     return f
 
@@ -453,9 +451,10 @@ class GaussSeidel:
                 def make_f():
                     def f(xo, vals_d, invd_d, bo):
                         bd = col.deinterleave(bo)
-                        xflat = _flat_x(xo, bo)
-                        xflat = col.sweeps_flat(xflat, bd, vals_d, invd_d, order_seq)
-                        return col.from_flat(xflat)
+                        xc = col.sweeps_core(
+                            _core_x(xo, bo), bd, vals_d, invd_d, order_seq
+                        )
+                        return col.interleave_core(xc)
 
                     return f
 
