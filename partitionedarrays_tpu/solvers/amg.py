@@ -391,11 +391,19 @@ class AMGPreconditioner:
 
                 dg = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
                 dinv = np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+                # z-axis (lane-dim) 3:1 pooling as a selection matmul: a
+                # strided lane slice / lane-repeat forces a full relayout
+                # on TPU, the (fz, cz) selection matmul rides the MXU for
+                # free.  The ragged last block is folded into the matrix.
+                fz, cz = struct_shapes[0][2], struct_shapes[1][2]
+                zsel = np.zeros((fz, cz), dtype=np.dtype(current.dtype))
+                zsel[np.arange(fz), np.arange(fz) // 3] = 1.0
                 struct = (
                     struct_shapes[0],
                     struct_shapes[1],
                     omega_used,
                     current.backend.shard(jnp.asarray(dinv, dtype=current.dtype)),
+                    jnp.asarray(zsel),
                 )
             self.levels.append(
                 AMGLevel(
@@ -458,10 +466,41 @@ class AMGPreconditioner:
         return PVector(own, jnp.zeros_like(b.ghost), lay, b.backend)
 
     # -- structured transfers (box-aggregated stencil levels) ----------
+    # 3^3 sum-pool / upsample of a C-ordered (fx, fy, fz) box.  The two
+    # major axes use zero-pad + reshape-sum (restrict) and broadcast +
+    # reshape (prolong) — contiguous slab traffic; the minor (lane) axis
+    # goes through the zsel selection matmul (MXU) because any lane-dim
+    # pad/stride/repeat costs a full-array relayout on TPU (~2ms of the
+    # measured 2.4ms restrict at 128^3 before this layout).
+    @staticmethod
+    def _box_pool3(v, shapes, zsel):
+        (fx, fy, fz), (cx, cy, cz) = shapes
+        P = v.shape[0]
+        f3 = v[:, : fx * fy * fz].reshape(P, fx, fy, fz)
+        f3 = jnp.pad(f3, ((0, 0), (0, 3 * cx - fx), (0, 3 * cy - fy), (0, 0)))
+        f3 = f3.reshape(P, cx, 3, 3 * cy, fz).sum(2)
+        f3 = f3.reshape(P, cx, cy, 3, fz).sum(3)
+        return jnp.einsum("pxyz,zw->pxyw", f3, zsel.astype(v.dtype)).reshape(P, -1)
+
+    @staticmethod
+    def _box_up3(c_own, shapes, zsel):
+        (fx, fy, fz), (cx, cy, cz) = shapes
+        P = c_own.shape[0]
+        c3 = c_own[:, : cx * cy * cz].reshape(P, cx, cy, cz)
+        f = jnp.einsum("pxyw,zw->pxyz", c3, zsel.astype(c_own.dtype))
+        f = jnp.broadcast_to(
+            f[:, :, :, None, :], (P, cx, cy, 3, fz)
+        ).reshape(P, cx, 3 * cy, fz)[:, :, :fy]
+        f = jnp.broadcast_to(
+            f[:, :, None, :, :], (P, cx, 3, fy, fz)
+        ).reshape(P, 3 * cx, fy, fz)[:, :fx]
+        return f.reshape(P, -1)
+
     def _restrict_struct(self, level: AMGLevel, r: PVector, cl) -> PVector:
         """rc = P^T r = P0^T (r - omega A D^-1 r): one DIA SpMV + a 3^d box
         sum-pool — no gathers."""
-        (fx, fy, fz), (cx, cy, cz), omega, dinv = level.struct
+        shapes = level.struct[:2]
+        omega, dinv, zsel = level.struct[2:]
         A = level.A
         clay = A.col_layout()
         t = PVector(
@@ -473,13 +512,7 @@ class AMGPreconditioner:
         u = spmv(A, t)
         v = r.own - omega * u.own
         P = v.shape[0]
-        f3 = v[:, : fx * fy * fz].reshape(P, fx, fy, fz)
-        f3 = jnp.pad(
-            f3,
-            ((0, 0), (0, 3 * cx - fx), (0, 3 * cy - fy), (0, 3 * cz - fz)),
-        )
-        c = f3.reshape(P, cx, 3, cy, 3, cz, 3).sum(axis=(2, 4, 6))
-        rc_own = _pad2(c.reshape(P, -1), cl.n_own_pad)
+        rc_own = _pad2(self._box_pool3(v, shapes, zsel), cl.n_own_pad)
         return PVector(
             rc_own,
             jnp.zeros((P, cl.n_ghost_pad), rc_own.dtype),
@@ -490,29 +523,113 @@ class AMGPreconditioner:
     def _prolong_struct(self, level: AMGLevel, ec: PVector) -> jnp.ndarray:
         """e = P ec = w - omega D^-1 A w with w = P0 ec (3^d upsample):
         one DIA SpMV — no gathers.  Returns the own values of e."""
-        (fx, fy, fz), (cx, cy, cz), omega, dinv = level.struct
+        shapes = level.struct[:2]
+        omega, dinv, zsel = level.struct[2:]
         A = level.A
-        P = ec.own.shape[0]
-        c3 = ec.own[:, : cx * cy * cz].reshape(P, cx, cy, cz)
-        f3 = jnp.repeat(jnp.repeat(jnp.repeat(c3, 3, axis=1), 3, axis=2), 3, axis=3)
-        f3 = f3[:, :fx, :fy, :fz]
         lay = A.row_layout()
-        w_own = _pad2(f3.reshape(P, -1), lay.n_own_pad)
+        w_own = _pad2(self._box_up3(ec.own, shapes, zsel), lay.n_own_pad)
         clay = A.col_layout()
         wv = PVector(
             w_own,
-            jnp.zeros((P, clay.n_ghost_pad), w_own.dtype),
+            jnp.zeros((w_own.shape[0], clay.n_ghost_pad), w_own.dtype),
             clay,
             ec.backend,
         )
         u = spmv(A, wv)
         return w_own - omega * (dinv * u.own)
 
+    # -- flat (de-interleaved core) cycle: structured levels whose
+    #    smoother is the colored-DIA sweep run the whole level in the
+    #    sweep space (see gs_dia.py).  Per level per cycle only TWO
+    #    layout transforms remain (interleave of the restrict input,
+    #    deinterleave of the prolongated correction) instead of one pair
+    #    per smoother application + standard-layout transfer SpMVs; the
+    #    P = (I - omega D^-1 A) P0 transfers reuse the fused ax_core
+    #    kernel and the smoother's own de-interleaved D^-1.
+    def _flat_ok(self, l: int) -> bool:
+        level = self.levels[l]
+        return (
+            level.P is not None
+            and level.struct is not None
+            and getattr(level.smoother, "colored", None) is not None
+            and level.smoother.flat_viable()
+        )
+
+    def _restrict_flat(self, level: AMGLevel, rd, cl) -> PVector:
+        """rc = P0^T (r - omega A D^-1 r) from the core-form residual rd
+        (P, m, Lq): elementwise D^-1, fused core A-apply, ONE interleave,
+        3^d box sum-pool."""
+        shapes, (omega, _, zsel) = level.struct[:2], level.struct[2:]
+        gs = level.smoother
+        u = gs.flat_ax(rd * gs.colored.invd_d.astype(rd.dtype))
+        v_std = gs.flat_interleave_core(rd - omega * u)
+        P = v_std.shape[0]
+        rc_own = _pad2(self._box_pool3(v_std, shapes, zsel), cl.n_own_pad)
+        return PVector(
+            rc_own,
+            jnp.zeros((P, cl.n_ghost_pad), rc_own.dtype),
+            cl,
+            level.A.backend,
+        )
+
+    def _prolong_flat(self, level: AMGLevel, ec: PVector):
+        """e = w - omega D^-1 A w with w = P0 ec (3^d upsample), returned
+        in CORE form: ONE deinterleave + the fused core A-apply."""
+        shapes, (omega, _, zsel) = level.struct[:2], level.struct[2:]
+        gs = level.smoother
+        w_std = _pad2(
+            self._box_up3(ec.own, shapes, zsel), level.A.row_layout().n_own_pad
+        )
+        w_core = gs.flat_deinterleave(w_std)
+        u = gs.flat_ax(w_core)
+        return w_core - omega * (gs.colored.invd_d.astype(u.dtype) * u)
+
+    def _cycle_flat(self, l: int, bd, w: bool):
+        """V/W-cycle below the interleave boundary of level ``l``; bd is
+        the core-form rhs, returns the core-form x."""
+        level = self.levels[l]
+        gs = level.smoother
+        xflat = gs.smooth_bd(None, bd)  # zero-guess pre-smooth
+        rd = gs.flat_residual(xflat, bd)
+        nxt = self.levels[l + 1]
+        cl = nxt.A.row_layout()
+        rc = self._restrict_flat(level, rd, cl)
+        if nxt.P is None:
+            ec = self._coarse_solve(rc)
+        elif self._flat_ok(l + 1):
+            gs_c = nxt.smoother
+            xfc = self._cycle_flat(l + 1, gs_c.make_bd(rc), w)
+            ec = PVector(
+                gs_c.flat_interleave(xfc),
+                jnp.zeros((rc.own.shape[0], cl.n_ghost_pad), rc.own.dtype),
+                cl,
+                rc.backend,
+            )
+        else:
+            ec = self._cycle(l + 1, rc, w)
+        if w and nxt.P is not None:
+            rc2 = _residual_vec(nxt.A, rc, ec)
+            ec2 = self._cycle(l + 1, rc2, w)
+            ec = PVector(ec.own + ec2.own, ec.ghost, ec.layout, ec.backend)
+        e_core = self._prolong_flat(level, ec)
+        return gs.smooth_bd(xflat + e_core, bd)  # post-smooth
+
     # -- cycle ---------------------------------------------------------
     def _cycle(self, l: int, b: PVector, w: bool) -> PVector:
         level = self.levels[l]
         if level.P is None:
             return self._coarse_solve(b)
+        if self._flat_ok(l):
+            gs = level.smoother
+            xflat = self._cycle_flat(l, gs.make_bd(b), w)
+            x_own = gs.flat_interleave(xflat)
+            lay = level.A.row_layout()
+            return PVector(
+                x_own,
+                jnp.zeros((x_own.shape[0], lay.n_ghost_pad), x_own.dtype),
+                lay,
+                b.backend,
+            )
         x = level.smoother(b)  # zero-guess pre-smooth
         r = _residual_vec(level.A, b, x)
         cl = self.levels[l + 1].A.row_layout()

@@ -94,6 +94,19 @@ class ColoredDIAGS:
                 offs.append(s * self.Lp + self.Kp + k)
             self.schedule.append(tuple(offs))
         self.max_abs_off = max(max(s) for s in self.schedule)
+        # lane-permutation matrix for the MXU-based de/interleave: within
+        # each block of m*128 contiguous elements, out[s*128 + j] =
+        # in[m*j + s].  A direct (Lq, m) <-> (m, Lq) transpose tiles the
+        # size-m minor dim at m/128 lane utilization (~1 ms per transform
+        # at 2M rows); the block matmul rides the MXU and the remaining
+        # (B, m, 128) <-> (m, B, 128) transpose keeps the 128-lane minor
+        # dim intact (a cheap major-dim copy).
+        mw = m * 128
+        j = np.arange(128)
+        sel = np.zeros((mw, mw), dtype=np.float32)
+        for s in range(m):
+            sel[m * j + s, s * 128 + j] = 1.0
+        self._sel = sel
 
     def __init__(
         self,
@@ -162,7 +175,10 @@ class ColoredDIAGS:
         m, Lq = self.m, self.Lq
         Rq = m * Lq
         xp = jnp.zeros((Rq,), x.dtype).at[: self.R].set(x[: self.R])
-        return xp.reshape(Lq, m).T
+        B = Lq // 128
+        sel = jnp.asarray(self._sel, dtype=x.dtype)
+        Y = xp.reshape(B, m * 128) @ sel
+        return Y.reshape(B, m, 128).transpose(1, 0, 2).reshape(m, Lq)
 
     def to_flat(self, xd: jnp.ndarray) -> jnp.ndarray:
         """xd[m, Lq] -> flat buffer [n_flat]: pure contiguous copy between
@@ -178,9 +194,7 @@ class ColoredDIAGS:
         )
 
     def from_flat(self, xflat: jnp.ndarray) -> jnp.ndarray:
-        m, Lq, Kp = self.m, self.Lq, self.Kp
-        xd = jax.lax.dynamic_slice(xflat, (Kp,), (m * Lq,)).reshape(m, Lq)
-        return xd.T.reshape(m * Lq)[: self.R]
+        return self.interleave_core(self.core_of_flat(xflat))
 
     # -- the sweep -----------------------------------------------------
     def sweep_flat(
@@ -228,7 +242,11 @@ class ColoredDIAGS:
 
     def interleave_core(self, xcore: jnp.ndarray) -> jnp.ndarray:
         """(m, Lq) core -> standard own order [R]."""
-        return xcore.T.reshape(self.m * self.Lq)[: self.R]
+        m, Lq = self.m, self.Lq
+        B = Lq // 128
+        sel = jnp.asarray(self._sel, dtype=xcore.dtype)
+        Y = xcore.reshape(m, B, 128).transpose(1, 0, 2).reshape(B, m * 128)
+        return (Y @ sel.T).reshape(m * Lq)[: self.R]
 
     def ax_core(self, xcore: jnp.ndarray, vals_d: jnp.ndarray) -> jnp.ndarray:
         """A_own_own @ x in the de-interleaved layout, core-in core-out

@@ -287,12 +287,7 @@ class GaussSeidel:
     def make_bd(self, b: PVector):
         """Stacked de-interleaved rhs (P, m, Lq) — compute once, reuse for
         pre and post smoothing (b is identical for both)."""
-        col = self.colored
-
-        def make_f():
-            return lambda bo: col.deinterleave(bo)
-
-        return self.A.backend.spmd_cached(("gs_make_bd", col), make_f)(b.own)
+        return self.flat_deinterleave(b.own)
 
     def smooth_bd(self, xflat, bd):
         """Sweeps on the stacked flat x; ``xflat=None`` means zero guess."""
@@ -359,7 +354,7 @@ class GaussSeidel:
 
         def make_f():
             def f(rd):
-                return rd.T.reshape(-1)[: col.R]
+                return col.interleave_core(rd)
 
             return f
 
@@ -373,6 +368,15 @@ class GaussSeidel:
             return lambda xf: col.interleave_core(xf)
 
         return self.A.backend.spmd_cached(("gs_interleave", col), make_f)(xflat)
+
+    def flat_deinterleave(self, own):
+        """Standard own values (P, n_own_pad) -> (m, Lq) core per part."""
+        col = self.colored
+
+        def make_f():
+            return lambda o: col.deinterleave(o)
+
+        return self.A.backend.spmd_cached(("gs_make_bd", col), make_f)(own)
 
     def flat_add_std(self, xflat, corr_own):
         """xflat + flatten(corr) — add a standard-order correction in the
