@@ -67,9 +67,9 @@ def _kernel(
     nseg: int,
     n_flat: int,
     order_ref,  # scalar-prefetch: color per step (drives the index maps)
-    vals_ref,  # VMEM [1, n_off, T] of this step's color
-    bd_ref,  # VMEM [1, T]
-    invd_ref,  # VMEM [1, T]
+    vals_ref,  # VMEM [n_off*T] of this step's color segment (1-D layout)
+    bd_ref,  # VMEM [T]
+    invd_ref,  # VMEM [T]
     xin_ref,  # ANY (HBM) core x in, flattened (m*Lq,)
     xout_ref,  # ANY (HBM) core x out
     xs_ref,  # VMEM scratch: flat x (with margins), resident across the call
@@ -105,7 +105,7 @@ def _kernel(
                 r = off - q
                 W = xs_ref[pl.ds(jT + q, T + ALIGN)]
                 seg = jax.lax.slice(W, (r,), (r + T,))
-                v = vals_ref[0, d, :]
+                v = vals_ref[pl.ds(d * T, T)]
                 if widen:
                     v = v.astype(xs_ref.dtype)
                 term = v * seg
@@ -113,7 +113,7 @@ def _kernel(
             base = c * Lp + Kp  # static, 1024-aligned
             xold = xs_ref[pl.ds(jT + base, T)]
             xs_ref[pl.ds(jT + base, T)] = (
-                xold + (bd_ref[0, 0] - acc) * invd_ref[0, 0]
+                xold + (bd_ref[...] - acc) * invd_ref[...]
             )
 
     @pl.when((step == n_steps - 1) & (j == nseg - 1))
@@ -148,9 +148,9 @@ def _ax_kernel(
     T: int,
     Kp: int,
     n_flat: int,
-    vals_ref,  # VMEM [1, n_off, T] of this color
+    vals_ref,  # VMEM [n_off*T] of this color segment (1-D layout)
     xin_ref,  # ANY (HBM) core x, flattened (m*Lq,)
-    y_ref,  # VMEM [1, 1, T] out block
+    y_ref,  # VMEM [T] out block
     xs_ref,  # VMEM scratch: flat x with margins
     sem_in,
 ):
@@ -175,42 +175,48 @@ def _ax_kernel(
                 r = off - q
                 W = xs_ref[pl.ds(jT + q, T + ALIGN)]
                 seg = jax.lax.slice(W, (r,), (r + T,))
-                v = vals_ref[0, d, :]
+                v = vals_ref[pl.ds(d * T, T)]
                 if widen:
                     v = v.astype(xs_ref.dtype)
                 term = v * seg
                 acc = term if acc is None else acc + term
-            y_ref[0, 0, :] = acc
+            y_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("schedule", "Kp", "n_flat"))
-def ax_core_pallas(vals_d, xcore, *, schedule, Kp, n_flat):
+@functools.partial(
+    jax.jit, static_argnames=("schedule", "Kp", "n_flat", "m", "n_off", "T")
+)
+def ax_core_pallas(vals_flat, xcore, *, schedule, Kp, n_flat, m, n_off, T):
     """Full own_own @ x in the de-interleaved space, ONE kernel launch,
-    core-in core-out: out[c, i] = sum_d vals_d[c, d, i] * x[tap].  Same
-    HBM traffic as one standard DIA SpMV (vals once, x once) — no padded
-    flat buffers materialize outside the kernel."""
-    m, n_off, Lq = vals_d.shape
-    T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
-    assert T, "ax_core_pallas: no valid tile (check viability first)"
+    core-in core-out: out[c, i] = sum_d vals[c, d, i] * x[tap].  Same HBM
+    traffic as one standard DIA SpMV (vals once, x once) — no padded flat
+    buffers materialize outside the kernel.  ``vals_flat`` is the 1-D
+    segment-major layout (see gs_dia flat storage): segment (c, j) holds
+    its n_off*T diagonal values contiguously, so every streamed block is a
+    contiguous 1-D run — a (n_off, T) 2-D block would tile the n_off
+    sublane dim to the next multiple of 8 and move up to 8/n_off extra HBM
+    traffic (18.5% at the HPCG 27-pt fine level)."""
+    Lq = vals_flat.shape[-1] // (m * n_off)
     kernel = functools.partial(_ax_kernel, schedule, m, T, Kp, n_flat)
+    nseg = Lq // T
 
     @jax.custom_batching.custom_vmap
-    def run(vals_d, xflat1d):
-        y3 = pl.pallas_call(
+    def run(vals_flat, xflat1d):
+        y = pl.pallas_call(
             kernel,
-            grid=(m, Lq // T),
+            grid=(m, nseg),
             in_specs=[
-                pl.BlockSpec((1, n_off, T), lambda c, j: (c, 0, j)),
+                pl.BlockSpec((n_off * T,), lambda c, j: (c * nseg + j,)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, T), lambda c, j: (c, 0, j)),
-            out_shape=jax.ShapeDtypeStruct((m, 1, Lq), xflat1d.dtype),
+            out_specs=pl.BlockSpec((T,), lambda c, j: (c * nseg + j,)),
+            out_shape=jax.ShapeDtypeStruct((m * Lq,), xflat1d.dtype),
             scratch_shapes=[
                 pltpu.VMEM((n_flat,), xflat1d.dtype),
                 pltpu.SemaphoreType.DMA(()),
             ],
-        )(vals_d, xflat1d)
-        return y3[:, 0, :]
+        )(vals_flat, xflat1d)
+        return y.reshape(m, Lq)
 
     @run.def_vmap
     def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
@@ -220,7 +226,7 @@ def ax_core_pallas(vals_d, xcore, *, schedule, Kp, n_flat):
         )
         return jax.lax.map(lambda t: run(*t), args), True
 
-    return run(vals_d, xcore.reshape(-1))
+    return run(vals_flat, xcore.reshape(-1))
 
 
 def ax_flat_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bool:
@@ -232,18 +238,19 @@ def ax_flat_pallas_viable(n_flat: int, Lq: int, n_off: int, itemsize: int) -> bo
 
 
 @functools.partial(
-    jax.jit, static_argnames=("schedule", "order", "Lp", "Kp", "n_flat")
+    jax.jit,
+    static_argnames=("schedule", "order", "Lp", "Kp", "n_flat", "m", "n_off", "T"),
 )
 def gs_sweep_pallas(
-    vals_d, bd, invd_d, xcore, *, schedule, order, Lp, Kp, n_flat
+    vals_flat, bd, invd_d, xcore, *, schedule, order, Lp, Kp, n_flat,
+    m, n_off, T,
 ):
     """Run the color sequence ``order`` of GS updates on the de-interleaved
-    x, core-in core-out.  vals_d [m, n_off, Lq]; bd/invd_d [m, Lq];
+    x, core-in core-out.  ``vals_flat`` is the 1-D segment-major layout
+    (contiguous streamed blocks — see ax_core_pallas); bd/invd_d [m, Lq];
     xcore [m, Lq] (or None semantics handled by the caller with zeros).
     The margin-padded flat working buffer exists only as VMEM scratch."""
-    m, n_off, Lq = vals_d.shape
-    T = _pick_tile(Lq, n_off, vals_d.dtype.itemsize)
-    assert T, "gs_sweep_pallas: no valid tile (check viability first)"
+    Lq = vals_flat.shape[-1] // (m * n_off)
     nseg = Lq // T
     n_steps = len(order)
     order_arr = jnp.asarray(np.array(order, dtype=np.int32))
@@ -256,10 +263,10 @@ def gs_sweep_pallas(
         grid=(n_steps, nseg),
         in_specs=[
             pl.BlockSpec(
-                (1, n_off, T), lambda s, j, ordr: (ordr[s], 0, j)
+                (n_off * T,), lambda s, j, ordr: (ordr[s] * nseg + j,)
             ),
-            pl.BlockSpec((1, 1, T), lambda s, j, ordr: (ordr[s], 0, j)),
-            pl.BlockSpec((1, 1, T), lambda s, j, ordr: (ordr[s], 0, j)),
+            pl.BlockSpec((T,), lambda s, j, ordr: (ordr[s] * nseg + j,)),
+            pl.BlockSpec((T,), lambda s, j, ordr: (ordr[s] * nseg + j,)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -275,12 +282,12 @@ def gs_sweep_pallas(
     # (SerialBackend, P parts on one device) run the kernel per part with
     # lax.map — parts execute sequentially on one core either way.
     @jax.custom_batching.custom_vmap
-    def run(ordr, vals_d, bd3, invd3, xflat1d):
+    def run(ordr, vals_flat, bd1, invd1, xflat1d):
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((m * Lq,), xflat1d.dtype),
-        )(ordr, vals_d, bd3, invd3, xflat1d)
+        )(ordr, vals_flat, bd1, invd1, xflat1d)
         return out.reshape(m, Lq)
 
     @run.def_vmap
@@ -294,6 +301,6 @@ def gs_sweep_pallas(
         return jax.lax.map(lambda t: run(*t), args), True
 
     return run(
-        order_arr, vals_d, bd[:, None, :], invd_d[:, None, :],
+        order_arr, vals_flat, bd.reshape(-1), invd_d.reshape(-1),
         xcore.reshape(-1),
     )

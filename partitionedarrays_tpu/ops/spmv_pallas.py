@@ -79,6 +79,57 @@ def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
     )(vals, xpad)
 
 
+def _dia_kernel_flat(
+    offsets: Tuple[int, ...], lo: int, T: int, vals_ref, x_ref, y_ref
+):
+    """Same taps as _dia_kernel but the values block is a contiguous 1-D
+    run (segment-major layout) — no sublane padding in the HBM stream."""
+    i = pl.program_id(0)
+    base = pl.multiple_of(i * T, T)
+    acc = None
+    for d in range(len(offsets)):
+        off = offsets[d] - lo  # static, >= 0
+        q, r = divmod(off, ALIGN)
+        W = x_ref[pl.ds(base + q * ALIGN, T + ALIGN)]
+        seg = jax.lax.slice(W, (r,), (r + T,))
+        term = vals_ref[pl.ds(d * T, T)] * seg
+        acc = term if acc is None else acc + term
+    y_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "lo", "span", "R", "n_cols_pad", "T")
+)
+def _dia_spmv_pallas_flat(vflat, x, *, offsets, lo, span, R, n_cols_pad, T):
+    if lo == 0 and x.shape[0] >= span + ALIGN:
+        xpad = x  # caller pre-padded (e.g. the colored-GS flat buffer)
+    else:
+        xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
+        xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
+    n_off = len(offsets)
+    kernel = functools.partial(_dia_kernel_flat, offsets, lo, T)
+    out_dtype = jnp.promote_types(vflat.dtype, x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec((n_off * T,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R,), out_dtype),
+    )(vflat, xpad)
+
+
+def dia_spmv_pallas_flat(offsets, vflat, x, n_cols_pad: int, *, R: int, T: int):
+    lo = min(min(offsets), 0)
+    hi = max(max(offsets) + R, n_cols_pad)
+    return _dia_spmv_pallas_flat(
+        vflat, x, offsets=tuple(offsets), lo=lo, span=hi - lo, R=R,
+        n_cols_pad=n_cols_pad, T=T,
+    )
+
+
 def dia_spmv_pallas_viable(offsets, R: int, n_cols_pad: int, itemsize: int) -> bool:
     if itemsize > 4:
         # f64: the TPU X64 software rewriting does not handle custom

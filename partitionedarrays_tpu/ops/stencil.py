@@ -125,7 +125,7 @@ def stencil_psparse(
     the host scipy mirror becomes a lazy thunk).
     """
     from ..psparse import PSparseMatrix, _sorted_ghosts, DeviceSpMat
-    from ..ops.blocks import DeviceBlock, freeze_block
+    from ..ops.blocks import DeviceBlock, freeze_block, make_dia_block
     from ..ops.sparse_host import compresscoo
     from ..pvector import _layout_cache
     import jax
@@ -291,7 +291,7 @@ def stencil_psparse(
                     ms_list.append((k, [jnp.asarray(f) for f in fs]))
             vals_dev = jax.jit(lambda: _build2(ms_list))()
 
-        oo_dev = DeviceBlock("dia", tuple(all_offs), clay.n_own_pad, None, vals_dev)
+        oo_dev = make_dia_block(tuple(all_offs), clay.n_own_pad, vals_dev)
 
         # lazy scipy host mirrors (consumers materialize on demand)
         blocks: List[dict] = []
@@ -355,9 +355,7 @@ def stencil_psparse(
             for k, o in enumerate(all_offs):
                 if o in diags:
                     vals[p, k, :R] = diags[o]
-        oo_dev = DeviceBlock(
-            "dia", tuple(all_offs), clay.n_own_pad, None, jnp.asarray(vals)
-        )
+        oo_dev = make_dia_block(tuple(all_offs), clay.n_own_pad, jnp.asarray(vals))
         blocks = []
         for p in range(P):
             R = int(np.prod(part_loc[p]))

@@ -108,6 +108,31 @@ class ColoredDIAGS:
             sel[m * j + s, s * 128 + j] = 1.0
         self._sel = sel
 
+    def _set_vals_layout(self, values_dtype) -> None:
+        """Decide the diagonal-value storage layout.  On Pallas targets the
+        values live in the 1-D SEGMENT-MAJOR order (color c, segment j) ->
+        n_off*T contiguous elements: the streamed kernel blocks are then
+        contiguous 1-D runs, where a (n_off, T) 2-D block would tile the
+        n_off sublane dim up to the next multiple of 8 and move up to
+        8/n_off extra HBM traffic (18.5% at the HPCG 27-pt level — measured
+        582 -> 690 GB/s physical on the sweep stream)."""
+        from .. import config
+        from ..ops.gs_pallas import _pick_tile
+
+        itemsize = np.dtype(values_dtype).itemsize
+        self.T = _pick_tile(self.Lq, len(self.offsets), itemsize)
+        self.flat_vals = bool(config.pallas_enabled() and self.T)
+
+    def vals_color(self, vals_d, c: int):
+        """Per-color (n_off, Lq) view of the stored diagonal values (for
+        the per-color XLA/Pallas fallback paths)."""
+        n_off = len(self.offsets)
+        if not self.flat_vals:
+            return vals_d[c]
+        nseg = self.Lq // self.T
+        v = vals_d.reshape(self.m, nseg, n_off, self.T)[c]
+        return jnp.moveaxis(v, 0, 1).reshape(n_off, self.Lq)
+
     def __init__(
         self,
         offsets: Tuple[int, ...],
@@ -118,11 +143,19 @@ class ColoredDIAGS:
         P, n_off, R = vals.shape
         self._plan(offsets, R)
         m, Lq = self.m, self.Lq
+        self._set_vals_layout(
+            values_dtype if values_dtype is not None else vals.dtype
+        )
         # de-interleave diagonal values: vals_d[P, m, n_off, Lq]
         Rq = m * Lq
         vp = np.zeros((P, n_off, Rq), dtype=vals.dtype)
         vp[:, :, :R] = vals
         vals_d = vp.reshape(P, n_off, Lq, m).transpose(0, 3, 1, 2)
+        if self.flat_vals:
+            nseg = Lq // self.T
+            vals_d = vals_d.reshape(P, m, n_off, nseg, self.T).transpose(
+                0, 1, 3, 2, 4
+            ).reshape(P, -1)
         self.vals_d = jnp.asarray(
             np.ascontiguousarray(vals_d),
             dtype=values_dtype if values_dtype is not None else vals_d.dtype,
@@ -153,6 +186,9 @@ class ColoredDIAGS:
         P, n_off, R = (int(s) for s in vals_dev.shape)
         self._plan(offsets, R)
         m, Lq = self.m, self.Lq
+        self._set_vals_layout(
+            values_dtype if values_dtype is not None else vals_dev.dtype
+        )
         Rq = m * Lq
 
         @jax.jit
@@ -161,6 +197,11 @@ class ColoredDIAGS:
             vals_d = vp.reshape(P, n_off, Lq, m).transpose(0, 3, 1, 2)
             if values_dtype is not None:
                 vals_d = vals_d.astype(values_dtype)
+            if self.flat_vals:
+                nseg = Lq // self.T
+                vals_d = vals_d.reshape(P, m, n_off, nseg, self.T).transpose(
+                    0, 1, 3, 2, 4
+                ).reshape(P, -1)
             dp = jnp.zeros((P, Rq), diag.dtype).at[:, :R].set(diag)
             dd = dp.reshape(P, Lq, m).transpose(0, 2, 1)
             inv = jnp.where(dd != 0, 1.0 / jnp.where(dd != 0, dd, 1.0), 0.0)
@@ -221,10 +262,11 @@ class ColoredDIAGS:
         )
         for c in order:
             offs = self.schedule[c]
+            vc = self.vals_color(vals_d, c)
             if use_pallas:
-                ax = dia_spmv_pallas(offs, vals_d[c], xflat, n_flat)
+                ax = dia_spmv_pallas(offs, vc, xflat, n_flat)
             else:
-                ax = dia_spmv(offs, vals_d[c], xflat, n_flat)
+                ax = dia_spmv(offs, vc, xflat, n_flat)
             start = c * Lp + Kp
             xrow = jax.lax.dynamic_slice(xflat, (start,), (Lq,))
             xnew = xrow + (bd[c] - ax) * invd_d[c]
@@ -255,16 +297,23 @@ class ColoredDIAGS:
         from ..ops.dia import dia_spmv
         from ..ops.gs_pallas import ax_core_pallas, ax_flat_pallas_viable
 
-        if config.pallas_enabled() and ax_flat_pallas_viable(
-            self.n_flat, self.Lq, len(self.offsets), xcore.dtype.itemsize
+        if (
+            self.flat_vals
+            and config.pallas_enabled()
+            and ax_flat_pallas_viable(
+                self.n_flat, self.Lq, len(self.offsets), xcore.dtype.itemsize
+            )
         ):
             return ax_core_pallas(
                 vals_d, xcore, schedule=tuple(self.schedule),
                 Kp=self.Kp, n_flat=self.n_flat,
+                m=self.m, n_off=len(self.offsets), T=self.T,
             )
         xflat = self.to_flat(xcore)
         rows = [
-            dia_spmv(self.schedule[c], vals_d[c], xflat, self.n_flat)
+            dia_spmv(
+                self.schedule[c], self.vals_color(vals_d, c), xflat, self.n_flat
+            )
             for c in range(self.m)
         ]
         return jnp.stack(rows)
@@ -281,13 +330,18 @@ class ColoredDIAGS:
         order_seq = tuple(int(c) for c in order_seq)
         if xcore is None:
             xcore = self.zeros_core(dtype if dtype is not None else bd.dtype)
-        if config.pallas_enabled() and gs_sweep_pallas_viable(
-            self.n_flat, self.Lq, vals_d.shape[1], xcore.dtype.itemsize
+        if (
+            self.flat_vals
+            and config.pallas_enabled()
+            and gs_sweep_pallas_viable(
+                self.n_flat, self.Lq, len(self.offsets), xcore.dtype.itemsize
+            )
         ):
             return gs_sweep_pallas(
                 vals_d, bd, invd_d, xcore,
                 schedule=tuple(self.schedule), order=order_seq,
                 Lp=self.Lp, Kp=self.Kp, n_flat=self.n_flat,
+                m=self.m, n_off=len(self.offsets), T=self.T,
             )
         xflat = self.to_flat(xcore)
         m = self.m
