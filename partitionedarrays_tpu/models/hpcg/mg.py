@@ -156,8 +156,8 @@ class HPCGMGPreconditioner:
     def _cycle(self, l: int, b: PVector) -> PVector:
         gs = self.gss[l]
         A = self.As[l]
-        if l == 0 or not gs.flat_viable():
-            # generic path (coarsest level / ghosted parts / non-colored)
+        if l == 0 or gs.colored is None:
+            # generic path (coarsest level / non-colored smoother)
             x = gs(b)  # zero-guess pre-smooth (coarsest: this IS the solve)
             if l == 0:
                 return x
@@ -169,10 +169,13 @@ class HPCGMGPreconditioner:
             return gs.apply(x, b)  # post-smooth
 
         # flat pipeline: enter the de-interleaved sweep space once and run
-        # the whole V-cycle there (see _cycle_flat_bd)
+        # the whole V-cycle there (see _cycle_flat_bd / _cycle_flat_g)
         rlay = A.row_layout()
-        bd = gs.make_bd(b)
-        xflat = self._cycle_flat_bd(l, bd)
+        if gs.flat_viable():
+            bd = gs.make_bd(b)
+            xflat = self._cycle_flat_bd(l, bd)
+        else:
+            xflat = self._cycle_flat_g(l, b)
         x_own = gs.flat_interleave(xflat)
         return PVector(
             x_own,
@@ -180,6 +183,30 @@ class HPCGMGPreconditioner:
             rlay,
             self.backend,
         )
+
+    def _cycle_flat_g(self, l: int, b: PVector) -> jnp.ndarray:
+        """GHOSTED flat V-cycle level: smoothing and the level state stay
+        in the de-interleaved core space; the frozen ghost-column
+        contribution is folded into the core rhs per smoother application
+        (hybrid-GS semantics, identical to the generic path).  Two ghost
+        exchanges per level per cycle — the pre-smooth starts from a zero
+        guess whose ghosts are zero, so it needs none (the reference pays
+        three: one per consistent! in each smooth plus the Axf mul!)."""
+        gs = self.gss[l]
+        bd0 = gs.make_bd(b)  # zero-guess: ghost contribution is zero
+        xflat = gs.smooth_bd(None, bd0)  # pre-smooth
+        # true level residual: r = b - A_oo x - A_oh g (fresh ghosts)
+        gc = gs.ghost_contrib(gs.flat_interleave(xflat))
+        rd = gs.flat_residual(xflat, bd0)  # bd0 - A_oo x, core form
+        r_std = gs.flat_interleave_core(rd) - gc
+        rc = self._restrict(l, r_std)
+        xc = self._cycle(l - 1, rc)
+        corr = self._prolong(l, xc.own, r_std.shape[1])
+        xflat = gs.flat_add_std(xflat, corr)
+        # post-smooth with refreshed frozen ghosts
+        gc2 = gs.ghost_contrib(gs.flat_interleave(xflat))
+        bd2 = gs.flat_deinterleave(b.own - gc2)
+        return gs.smooth_bd(xflat, bd2)
 
     def flat_viable(self) -> bool:
         return self.gss[-1].flat_viable()

@@ -101,24 +101,43 @@ def _dia_kernel_flat(
     jax.jit, static_argnames=("offsets", "lo", "span", "R", "n_cols_pad", "T")
 )
 def _dia_spmv_pallas_flat(vflat, x, *, offsets, lo, span, R, n_cols_pad, T):
-    if lo == 0 and x.shape[0] >= span + ALIGN:
-        xpad = x  # caller pre-padded (e.g. the colored-GS flat buffer)
-    else:
-        xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
-        xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
     n_off = len(offsets)
     kernel = functools.partial(_dia_kernel_flat, offsets, lo, T)
     out_dtype = jnp.promote_types(vflat.dtype, x.dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=(R // T,),
-        in_specs=[
-            pl.BlockSpec((n_off * T,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
-        ],
-        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R,), out_dtype),
-    )(vflat, xpad)
+
+    # 1-D blocks cannot be batched by the default pallas vmap rule (the
+    # batched block's last two dims would be (1, block)); under vmap
+    # (SerialBackend, P parts on one device) run per part with lax.map —
+    # parts execute sequentially on one core either way.
+    @jax.custom_batching.custom_vmap
+    def run(vflat, x):
+        if lo == 0 and x.shape[0] >= span + ALIGN:
+            xpad = x  # caller pre-padded (e.g. the colored-GS flat buffer)
+        else:
+            xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
+            xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
+        return pl.pallas_call(
+            kernel,
+            grid=(R // T,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_off * T,), lambda i: (i,), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
+            ],
+            out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R,), out_dtype),
+        )(vflat, xpad)
+
+    @run.def_vmap
+    def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        return jax.lax.map(lambda t: run(*t), args), True
+
+    return run(vflat, x)
 
 
 def dia_spmv_pallas_flat(offsets, vflat, x, n_cols_pad: int, *, R: int, T: int):

@@ -555,6 +555,49 @@ class AMGPreconditioner:
             and level.smoother.flat_viable()
         )
 
+    def _flat_ok_ghosted(self, l: int) -> bool:
+        level = self.levels[l]
+        return (
+            level.P is not None
+            and level.struct is not None
+            and getattr(level.smoother, "colored", None) is not None
+        )
+
+    def _cycle_flat_g(self, l: int, b: PVector, w: bool) -> jnp.ndarray:
+        """GHOSTED flat level: smoothing stays in the de-interleaved core
+        space with the frozen ghost-column contribution folded into the
+        core rhs (hybrid-GS semantics); the structured transfers run in
+        standard order (their internal SpMV performs the ghost exchange).
+        Two ghost exchanges per level per cycle — the zero-guess pre-smooth
+        needs none."""
+        level = self.levels[l]
+        gs = level.smoother
+        bd0 = gs.make_bd(b)  # zero-guess: ghost contribution is zero
+        xflat = gs.smooth_bd(None, bd0)  # pre-smooth
+        gc = gs.ghost_contrib(gs.flat_interleave(xflat))
+        rd = gs.flat_residual(xflat, bd0)
+        r_std = gs.flat_interleave_core(rd) - gc
+        rlay = level.A.row_layout()
+        r = PVector(
+            r_std,
+            jnp.zeros((r_std.shape[0], rlay.n_ghost_pad), r_std.dtype),
+            rlay,
+            b.backend,
+        )
+        nxt = self.levels[l + 1]
+        cl = nxt.A.row_layout()
+        rc = self._restrict_struct(level, r, cl)
+        ec = self._cycle(l + 1, rc, w)
+        if w and nxt.P is not None:
+            rc2 = _residual_vec(nxt.A, rc, ec)
+            ec2 = self._cycle(l + 1, rc2, w)
+            ec = PVector(ec.own + ec2.own, ec.ghost, ec.layout, ec.backend)
+        e_own = self._prolong_struct(level, ec)
+        xflat = gs.flat_add_std(xflat, e_own)
+        gc2 = gs.ghost_contrib(gs.flat_interleave(xflat))
+        bd2 = gs.flat_deinterleave(b.own - gc2)
+        return gs.smooth_bd(xflat, bd2)  # post-smooth
+
     def _restrict_flat(self, level: AMGLevel, rd, cl) -> PVector:
         """rc = P0^T (r - omega A D^-1 r) from the core-form residual rd
         (P, m, Lq): elementwise D^-1, fused core A-apply, ONE interleave,
@@ -619,9 +662,12 @@ class AMGPreconditioner:
         level = self.levels[l]
         if level.P is None:
             return self._coarse_solve(b)
-        if self._flat_ok(l):
+        if self._flat_ok_ghosted(l):
             gs = level.smoother
-            xflat = self._cycle_flat(l, gs.make_bd(b), w)
+            if self._flat_ok(l):
+                xflat = self._cycle_flat(l, gs.make_bd(b), w)
+            else:
+                xflat = self._cycle_flat_g(l, b, w)
             x_own = gs.flat_interleave(xflat)
             lay = level.A.row_layout()
             return PVector(

@@ -284,6 +284,31 @@ class GaussSeidel:
         has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
         return self.colored is not None and not has_cg
 
+    def ghost_contrib(self, x_own):
+        """A_own_ghost @ consistent(x) — the ghost-column contribution
+        that the hybrid sweep freezes per application, in standard own
+        order (P, n_own_pad).  One ghost exchange + one oh SpMV; lets the
+        GHOSTED flat V-cycle fold ghosts into the de-interleaved rhs
+        (bd = deinterleave(b - gc)) exactly as ``apply`` does internally
+        (reference semantics: consistent! once per smooth,
+        smoothers.jl:104-105)."""
+        A = self.A
+        clay = A.col_layout()
+        dev = A.device()
+
+        def make_f():
+            def f(xo, cplan, oh):
+                g = cplan.apply(
+                    xo, jnp.zeros((clay.n_ghost_pad,), xo.dtype), "set"
+                )
+                return oh.spmv(g)
+
+            return f
+
+        return A.backend.spmd_cached(("gs_ghost_contrib", self), make_f)(
+            x_own, clay.consistent_plan, dev.oh
+        )
+
     def make_bd(self, b: PVector):
         """Stacked de-interleaved rhs (P, m, Lq) — compute once, reuse for
         pre and post smoothing (b is identical for both)."""

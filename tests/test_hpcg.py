@@ -81,3 +81,36 @@ def test_hpcg_driver(backend4):
     assert s["GBs_model"] > 0
     assert s["final_relres"] < 1e-3
     assert report.flops()["total"] > report.flops()["spmv"]
+
+
+def test_ghosted_flat_cycle_matches_generic(backend4):
+    """The ghosted flat V-cycle (de-interleaved smoothing + explicit
+    ghost-contribution folding) must equal the generic path (spmv residual
+    + smoother.apply) on a multi-part mesh — same hybrid-GS semantics."""
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.models.hpcg.mg import _col_view
+    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.pvector import PVector
+
+    mg = HPCGMGPreconditioner((8, 8, 8), (2, 2, 1), backend4, n_levels=2)
+    assert any(not gs.flat_viable() and gs.colored is not None for gs in mg.gss), (
+        "expected ghosted colored levels on a multi-part mesh"
+    )
+    b = mg.b
+
+    def generic_cycle(l, b):
+        gs = mg.gss[l]
+        x = gs(b)
+        if l == 0:
+            return x
+        Axf = spmv(mg.As[l], _col_view(mg.As[l], x), dev=mg.devs_pc[l])
+        rc = mg._restrict(l, b.own - Axf.own)
+        xc = generic_cycle(l - 1, rc)
+        corr = mg._prolong(l, xc.own, x.own.shape[1])
+        x = PVector(x.own + corr, x.ghost, x.layout, mg.backend)
+        return gs.apply(x, b)
+
+    got = np.asarray(mg(b).own)
+    want = np.asarray(generic_cycle(mg.n_levels - 1, b).own)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
