@@ -65,11 +65,12 @@ def stream_bandwidth_gbs() -> float:
 
 
 _MG = None
+_MG_SETUP_S = 0.0
 
 
 def _get_mg():
     """Build the 128^3 4-level MG hierarchy once; both benches reuse it."""
-    global _MG
+    global _MG, _MG_SETUP_S
     if _MG is None:
         import jax
 
@@ -81,11 +82,13 @@ def _get_mg():
         # the GS sweeps; shard_map runs the kernels unbatched.
         # note: precond_dtype=bfloat16 is available but measured SLOWER on
         # v5e (Mosaic's bf16 1-D stream lowering negates the traffic win)
+        t0 = time.perf_counter()
         _MG = HPCGMGPreconditioner(
             (128, 128, 128), (1, 1, 1),
             MeshBackend(devices=jax.devices()[:1]), n_levels=4,
             dtype=np.float32,
         )
+        _MG_SETUP_S = time.perf_counter() - t0
     return _MG
 
 
@@ -179,12 +182,22 @@ def hpcg_rating():
         n_levels=4,
         iterations=50,
         ref_sets=1,
-        timed_sets=3,
+        # official-style timed WINDOW (sets until the window elapses) so
+        # the rated figure amortizes setup like the real benchmark run
+        # protocol (HPCG/src/hpcg_benchmark.jl:81-88) instead of 3 sets
+        # (~0.5 s) drowning in setup time
+        total_runtime=60.0,
         dtype=np.float32,
         mg=_get_mg(),
+        setup_time=_MG_SETUP_S,
     )
     s = report.summary()
-    return s["GFLOPs"]["raw"], s["GBs_model"], s["final_relres"]
+    return (
+        s["GFLOPs"]["raw"],
+        s["GFLOPs"]["rated"],
+        s["GBs_model"],
+        s["final_relres"],
+    )
 
 
 def main():
@@ -193,9 +206,9 @@ def main():
     stream = stream_bandwidth_gbs()
     gbs, nnz_s, dt, nrows, nnz = spmv_bench()
     try:
-        hpcg_gf, hpcg_gbs, hpcg_res = hpcg_rating()
+        hpcg_gf, hpcg_rated, hpcg_gbs, hpcg_res = hpcg_rating()
     except Exception:
-        hpcg_gf = hpcg_gbs = hpcg_res = None
+        hpcg_gf = hpcg_rated = hpcg_gbs = hpcg_res = None
     try:
         amg_dt, amg_setup, amg_iters = amg_cycle_bench()
         amg_ms, amg_setup_s = round(amg_dt * 1e3, 3), round(amg_setup, 1)
@@ -214,6 +227,7 @@ def main():
             "nrows": nrows,
             "nnz": nnz,
             "hpcg_gflops_raw": hpcg_gf,
+            "hpcg_gflops_rated": hpcg_rated,
             "hpcg_gbs_model": hpcg_gbs,
             "hpcg_final_relres": hpcg_res,
             "amg64_vcycle_ms": amg_ms,

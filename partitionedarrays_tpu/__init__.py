@@ -22,7 +22,9 @@ from .backends import (
     with_multihost,
     with_serial,
 )
-from .config import pallas_enabled
+from .config import enable_compilation_cache, pallas_enabled
+
+enable_compilation_cache()
 
 # -- local storage & sparse kernels (L2) ------------------------------------
 from .ops.jagged import (
