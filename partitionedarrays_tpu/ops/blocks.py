@@ -97,6 +97,16 @@ class DeviceBlock:
         )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def _dia_flat_layout(v, T: int):
+    P, n_off, R = v.shape
+    nseg = R // T
+    return v.reshape(P, n_off, nseg, T).transpose(0, 2, 1, 3).reshape(P, -1)
+
+
 def make_dia_block(offsets, n_cols_pad: int, vals) -> DeviceBlock:
     """DIA DeviceBlock from device-resident logical values [P, n_off, R],
     attaching the segment-major flat copy when the Pallas path is viable
@@ -113,13 +123,7 @@ def make_dia_block(offsets, n_cols_pad: int, vals) -> DeviceBlock:
         and dia_spmv_pallas_viable(offsets, R, n_cols_pad, vals.dtype.itemsize)
     ):
         T = _pick_tile(R)
-        nseg = R // T
-
-        @jax.jit
-        def _flat(v):
-            return v.reshape(P, n_off, nseg, T).transpose(0, 2, 1, 3).reshape(P, -1)
-
-        vflat = _flat(vals)
+        vflat = _dia_flat_layout(vals, T)
     return DeviceBlock("dia", offsets, n_cols_pad, None, vals, vflat, T)
 
 
