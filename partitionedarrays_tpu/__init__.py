@@ -24,8 +24,6 @@ from .backends import (
 )
 from .config import enable_compilation_cache, pallas_enabled
 
-enable_compilation_cache()
-
 # -- local storage & sparse kernels (L2) ------------------------------------
 from .ops.jagged import (
     GenericJaggedArray,

@@ -74,6 +74,9 @@ class SerialBackend(Backend):
 
     def __init__(self, n_parts: int):
         self.n_parts = int(n_parts)
+        from . import config
+
+        config.enable_compilation_cache()
 
     def spmd(self, f: Callable) -> Callable:
         return jax.vmap(f, axis_name=AXIS)
@@ -91,6 +94,9 @@ class MeshBackend(Backend):
             mesh = Mesh(devices, (AXIS,))
         self.mesh = mesh
         self.n_parts = mesh.shape[AXIS]
+        from . import config
+
+        config.enable_compilation_cache()
 
     def spmd(self, f: Callable) -> Callable:
         spec = PartitionSpec(AXIS)

@@ -31,11 +31,18 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     programs (stencil generators, GS state builds, solver bodies); over a
     tunneled/remote-compile TPU each costs seconds-to-tens-of-seconds, so
     caching them on disk turns repeat setups from minutes into seconds
-    (measured: HPCG 128^3 pc_setup 162 s cold -> 2.8 s cached).  Called at
-    package import; respects JAX_COMPILATION_CACHE_DIR."""
+    (measured: HPCG 128^3 pc_setup 162 s cold -> 2.8 s cached).
+
+    Called lazily at backend construction (NOT package import, which would
+    force backend init before a user's jax.distributed.initialize), and
+    only for TPU-like platforms: cached XLA:CPU AOT executables are
+    machine-feature-specific and reload with mismatch warnings/SIGILL risk
+    on heterogeneous hosts.  Respects JAX_COMPILATION_CACHE_DIR."""
     import os
 
     try:
+        if jax.devices()[0].platform.lower() not in _TPU_PLATFORMS:
+            return
         if jax.config.jax_compilation_cache_dir is None and not os.environ.get(
             "JAX_COMPILATION_CACHE_DIR"
         ):

@@ -60,6 +60,73 @@ def hpcg_cg(
     return x, norms
 
 
+def hpcg_cg_flat_g(mg, b: PVector, iterations: int = 50):
+    """PCG in the GS de-interleaved flat space for GHOSTED (multi-part)
+    meshes.  Vectors, dots and axpys live in the core form; the A-apply is
+    the fused core kernel plus the ghost-column contribution (one halo
+    exchange, folded through a cheap MXU interleave/deinterleave pair);
+    the preconditioner is the ghosted flat V-cycle.  Standard row order
+    appears only at the exchange boundary and the level transfers."""
+    gs = mg.gss[-1]
+    col = gs.colored
+    backend = b.backend
+    lay = b.layout
+
+    ax_name = backend.axis_name()
+    dot = backend.spmd_cached(
+        ("cgf_dot", col),
+        lambda: (lambda a, b: jax.lax.psum(jnp.vdot(a, b), ax_name)),
+    )
+
+    def a_apply(p):
+        gc = gs.ghost_contrib(gs.flat_interleave(p))
+        return gs.flat_ax(p) + gs.flat_deinterleave(gc)
+
+    def m_apply(r):
+        r_std = gs.flat_interleave(r)
+        rv = PVector(
+            r_std,
+            jnp.zeros((r_std.shape[0], lay.n_ghost_pad), r_std.dtype),
+            lay,
+            backend,
+        )
+        return mg._cycle_flat_g(mg.n_levels - 1, rv)
+
+    bf = gs.make_bd(b)
+    x = jnp.zeros_like(bf)
+    r = bf
+    norm0 = jnp.sqrt(dot(r, r)[0])
+    z = m_apply(r)
+    p = z
+    rz = dot(r, z)[0]
+
+    def body(k, state):
+        x, r, p, rz, norms = state
+        Ap = a_apply(p)
+        alpha = rz / dot(p, Ap)[0]
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = m_apply(r)
+        rz_new = dot(r, z)[0]
+        beta = rz_new / rz
+        p = z + beta * p
+        norms = norms.at[k + 1].set(jnp.sqrt(dot(r, r)[0]))
+        return (x, r, p, rz_new, norms)
+
+    norms = jnp.zeros((iterations + 1,), dtype=bf.dtype).at[0].set(norm0)
+    x, r, p, rz, norms = jax.lax.fori_loop(
+        0, iterations, body, (x, r, p, rz, norms)
+    )
+    x_own = gs.flat_interleave(x)
+    xv = PVector(
+        x_own,
+        jnp.zeros((x_own.shape[0], lay.n_ghost_pad), x_own.dtype),
+        lay,
+        backend,
+    )
+    return xv, norms
+
+
 def hpcg_cg_flat(mg, b: PVector, iterations: int = 50):
     """PCG with every vector living in the GS de-interleaved FLAT space.
 

@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .cg import hpcg_cg, hpcg_cg_flat
+from .cg import hpcg_cg, hpcg_cg_flat, hpcg_cg_flat_g
 from .mg import HPCGMGPreconditioner
 from .opt3d import compute_optimal_shape_xyz
 from .report import HPCGReport
@@ -70,13 +70,18 @@ def hpcg_benchmark(
     A, b = mg.A, mg.b
 
     use_flat = mg.flat_viable()
+    use_flat_g = not use_flat and mg.flat_viable_ghosted()
+
+    def run_cg(A, mg, b):
+        if use_flat:
+            return hpcg_cg_flat(mg, b, iterations=iterations)
+        if use_flat_g:
+            return hpcg_cg_flat_g(mg, b, iterations=iterations)
+        return hpcg_cg(A, b, M=mg, iterations=iterations)
 
     @jax.jit
     def one_set(A, mg, b):
-        if use_flat:
-            x, norms = hpcg_cg_flat(mg, b, iterations=iterations)
-        else:
-            x, norms = hpcg_cg(A, b, M=mg, iterations=iterations)
+        x, norms = run_cg(A, mg, b)
         return x.own, norms
 
     # compile (counted as optimization time, like the reference's opt phase)
@@ -119,10 +124,7 @@ def hpcg_benchmark(
                 bs = PVector(
                     b.own * scale, b.ghost * scale, b.layout, b.backend
                 )
-                if use_flat:
-                    x, norms = hpcg_cg_flat(mg, bs, iterations=iterations)
-                else:
-                    x, norms = hpcg_cg(A, bs, M=mg, iterations=iterations)
+                x, norms = run_cg(A, mg, bs)
                 new_scale = 1.0 + norms[-1] / norms[0] * 1e-12
                 return (new_scale, norms / scale)
 

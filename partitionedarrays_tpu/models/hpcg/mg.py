@@ -211,6 +211,11 @@ class HPCGMGPreconditioner:
     def flat_viable(self) -> bool:
         return self.gss[-1].flat_viable()
 
+    def flat_viable_ghosted(self) -> bool:
+        """True when the finest level can run the GHOSTED flat pipeline
+        (colored smoother; halo exchanges folded through the core form)."""
+        return self.n_levels >= 2 and self.gss[-1].colored is not None
+
     def apply_flat(self, bd) -> jnp.ndarray:
         """The preconditioner acting entirely in the de-interleaved space:
         takes the de-interleaved residual bd (P, m, Lq), returns the flat
