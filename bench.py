@@ -29,19 +29,29 @@ def _timed_fetch(fn, *args):
     return time.perf_counter() - t0
 
 
-def slope_time_per_iter(make_loop, args, k_small=8, k_big=72, repeats=5):
+def slope_time_per_iter(make_loop, args, k_small=8, k_big=72, repeats=7):
     """Seconds per loop iteration via two-point slope (latency-free).
 
-    Uses min-per-chain-length before differencing: taking the min of the
-    per-repeat slopes would be biased low whenever the short chain catches
-    a latency spike."""
+    Uses min-per-chain-length before differencing (latency spikes are
+    positive-only noise, so min is the right floor estimator), with the
+    two chain lengths INTERLEAVED so a drifting latency floor biases both
+    lengths equally instead of whichever ran second."""
     f_small = make_loop(k_small)
     f_big = make_loop(k_big)
     _timed_fetch(f_small, *args)  # compile
     _timed_fetch(f_big, *args)
-    ts = min(_timed_fetch(f_small, *args) for _ in range(repeats))
-    tb = min(_timed_fetch(f_big, *args) for _ in range(repeats))
-    return (tb - ts) / (k_big - k_small)
+    ts, tb = [], []
+    for _ in range(repeats):
+        ts.append(_timed_fetch(f_small, *args))
+        tb.append(_timed_fetch(f_big, *args))
+    dt = (min(tb) - min(ts)) / (k_big - k_small)
+    # sanity clamp: the true per-iter time is positive and at most the
+    # latency-INCLUSIVE big-chain average; a drifting latency floor can
+    # otherwise produce a negative or impossibly fast difference
+    upper = min(tb) / k_big
+    if not (0.0 < dt <= upper):
+        dt = upper
+    return dt
 
 
 def stream_bandwidth_gbs() -> float:
@@ -167,7 +177,9 @@ def amg_cycle_bench():
 
         return run
 
-    dt = slope_time_per_iter(make_loop, (M, b.own), k_small=2, k_big=10)
+    # the V-cycle is ~0.1 ms: the chain difference must dwarf tunnel
+    # latency jitter (tens of ms), so use a long chain
+    dt = slope_time_per_iter(make_loop, (M, b.own), k_small=8, k_big=264)
     x, info = cg(A, b, M=M, rtol=1e-8, maxiter=100)
     return dt, t_setup, int(info.iterations)
 

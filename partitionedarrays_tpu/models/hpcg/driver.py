@@ -141,12 +141,27 @@ def hpcg_benchmark(
     runN = chained_sets(1 + n_sets)
     np.asarray(run1(A, mg, b))  # compile
     np.asarray(runN(A, mg, b))  # compile
-    t0 = time.perf_counter()
-    norms1 = np.asarray(run1(A, mg, b))
-    t1 = time.perf_counter()
-    normsN = np.asarray(runN(A, mg, b))
-    t2 = time.perf_counter()
-    time_solve = t2 - t1 - (t1 - t0)  # n_sets' worth of pure set time
+
+    def timed(f):
+        t0 = time.perf_counter()
+        out = np.asarray(f(A, mg, b))
+        return time.perf_counter() - t0, out
+
+    # interleaved repeats + min per chain length: dispatch-latency spikes
+    # are positive-only noise and must not leak into the difference (a
+    # single spiked short-chain sample would INFLATE the reported rate)
+    t1s, tNs = [], []
+    for _ in range(5):
+        dt1, norms1 = timed(run1)
+        dtN, normsN = timed(runN)
+        t1s.append(dt1)
+        tNs.append(dtN)
+    time_solve = min(tNs) - min(t1s)  # n_sets' worth of pure set time
+    # sanity clamp: per-set time is positive and at most the
+    # latency-INCLUSIVE big-chain average
+    upper = min(tNs) * n_sets / (1 + n_sets)
+    if not (0.0 < time_solve <= upper):
+        time_solve = upper
     assert np.allclose(norms1, normsN, rtol=1e-4)
     if total_runtime is not None:
         # official-style run WINDOW: a real benchmark run executes sets
