@@ -420,6 +420,8 @@ def psparse(
     assemble: bool = True,
     reuse: bool = False,
     dtype=None,
+    indices: str = "global",
+    restore_ids: bool = True,
 ):
     """Main constructor (parity: psparse, src/p_sparse_matrix.jl:1150-1286).
 
@@ -429,11 +431,33 @@ def psparse(
     to owners); with ``assemble=False`` it stays subassembled with
     ghost_own/ghost_ghost blocks.  With ``reuse=True`` returns ``(A, cache)``
     for ``psparse_refill``.
+
+    ``indices="local"`` (parity: the ``indices=:local`` kwarg,
+    src/p_sparse_matrix.jl:1150-1161): I/J are per-part LOCAL ids into
+    ``rows``/``cols`` (whose partitions must already carry any ghost ids the
+    triplets touch); they are mapped to global ids here and the constructor
+    proceeds identically.  ``restore_ids`` is accepted for API parity; it is
+    a no-op because this constructor never mutates its inputs (the
+    reference's in-place global->local compression is what needs undoing,
+    src/p_sparse_matrix.jl:1199-1208).
     """
     rows_pr = as_prange(rows)
     cols_pr = as_prange(cols)
     P = rows_pr.n_parts
     dtype = dtype or np.asarray(V_parts[0]).dtype
+    if indices not in ("global", "local"):
+        raise ValueError(f"indices must be 'global' or 'local', got {indices!r}")
+    if indices == "local":
+        from .parallel.p_range import map_local_to_global
+
+        I_parts = [
+            map_local_to_global(np.asarray(I_parts[p], dtype=INT), rows_pr[p])
+            for p in range(P)
+        ]
+        J_parts = [
+            map_local_to_global(np.asarray(J_parts[p], dtype=INT), cols_pr[p])
+            for p in range(P)
+        ]
 
     if assembled or not assemble:
         tri = [

@@ -99,21 +99,52 @@ def aggregate(A: sp.csr_matrix, epsilon: float = 0.0) -> np.ndarray:
     return agg
 
 
-def strength_graph(A: sp.spmatrix, block_size: int) -> sp.csr_matrix:
+def strength_graph(
+    A: sp.spmatrix, block_size: int, epsilon: Optional[float] = None
+) -> sp.csr_matrix:
     """Collapse a block system (block_size dofs per node) to its node graph
     with Frobenius block norms (parity: strength_graph,
-    PartitionedSolvers/src/amg.jl:605-745)."""
+    PartitionedSolvers/src/amg.jl:605-745).
+
+    With ``epsilon=None`` (internal use) the graph carries the Frobenius
+    norms themselves — ``aggregate`` applies its own strength test on them,
+    which matches the reference's pyamg-style predicate
+    ``|G_ij| >= eps*sqrt(G_ii*G_jj)``.  With a numeric ``epsilon`` the
+    thresholded 0/1 graph of the reference's public function is returned
+    (diagonal included when epsilon <= 1, amg.jl:678-704)."""
     bs = int(block_size)
+    if epsilon is not None and epsilon < 0:
+        raise ValueError("Expected epsilon >= 0.")
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("Matrix must be square.")
     if bs == 1:
-        return A.tocsr()
-    coo = A.tocoo()
-    ni = coo.row // bs
-    nj = coo.col // bs
-    n_nodes = -(-A.shape[0] // bs)
-    G = sp.coo_matrix((coo.data**2, (ni, nj)), shape=(n_nodes, n_nodes)).tocsr()
-    G.sum_duplicates()
-    G.data = np.sqrt(G.data)
-    return G
+        G = A.tocsr()
+    else:
+        if A.shape[0] % bs != 0:
+            raise ValueError("Matrix size must be multiple of block size.")
+        coo = A.tocoo()
+        ni = coo.row // bs
+        nj = coo.col // bs
+        n_nodes = -(-A.shape[0] // bs)
+        G = sp.coo_matrix((coo.data**2, (ni, nj)), shape=(n_nodes, n_nodes)).tocsr()
+        G.sum_duplicates()
+        G.data = np.sqrt(G.data)
+    if epsilon is None:
+        return G
+    G = G.tocoo()
+    d = np.zeros(G.shape[0])
+    diag_mask = G.row == G.col
+    d[G.row[diag_mask]] = G.data[diag_mask]
+    keep = (G.data != 0) & (
+        G.data >= epsilon * np.sqrt(d[G.row] * d[G.col])
+    ) & ~diag_mask
+    I, J = G.row[keep], G.col[keep]
+    V = np.ones(keep.sum())
+    if epsilon <= 1:
+        I = np.concatenate([I, np.arange(G.shape[0])])
+        J = np.concatenate([J, np.arange(G.shape[0])])
+        V = np.concatenate([V, np.ones(G.shape[0])])
+    return sp.coo_matrix((V, (I, J)), shape=G.shape).tocsr()
 
 
 def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0, block_size: int = 1):

@@ -165,3 +165,51 @@ def test_default_nullspace(backend4):
     ns = default_nullspace(A)
     assert len(ns) == 4
     assert all(len(m) == 1 for m in ns)
+
+
+def test_strength_graph_thresholded():
+    """Parity: the public strength_graph(A, bs; epsilon) 0/1 graph
+    (amg.jl:605-745; test values from PartitionedSolvers/test/amg_tests.jl:
+    blockdiag of a dense 3x3 block -> identity node graph)."""
+    from partitionedarrays_tpu.solvers.amg import strength_graph
+
+    rng = np.random.default_rng(0)
+    M = sp.csr_matrix(rng.choice([-2.0, -1.0, 1.0, 2.0], (3, 3)))
+    A = sp.block_diag([M, M, M]).tocsr()
+    G = strength_graph(A, 3, epsilon=0.02)
+    assert abs(G - sp.eye(3)).max() == 0
+    # minimal size: one node
+    G1 = strength_graph(M, 3, epsilon=0.02)
+    assert G1.shape == (1, 1) and G1[0, 0] == 1.0
+    # off-diagonal blocks above/below threshold
+    B = sp.lil_matrix((6, 6))
+    B[:3, :3] = M; B[3:, 3:] = M
+    B[0, 3] = 1e-6      # weak coupling node0 -> node1
+    B[3:, :3] = M.toarray()  # strong coupling node1 -> node0
+    G = strength_graph(sp.csr_matrix(B), 3, epsilon=0.02)
+    assert G[0, 1] == 0 and G[1, 0] == 1.0
+    # epsilon > 1 drops the diagonal
+    G = strength_graph(A, 3, epsilon=1.5)
+    assert G.diagonal().max() == 0
+    with pytest.raises(ValueError):
+        strength_graph(A, 3, epsilon=-1.0)
+    with pytest.raises(ValueError):
+        strength_graph(sp.csr_matrix((4, 4)), 3, epsilon=0.1)
+
+
+def test_spectral_radius_power_method(backend4):
+    """Power-method omega estimator (parity: spectral_radius,
+    amg.jl:508-521) vs the known spectrum of Dinv*A for the 1-D
+    Laplacian: lambda_max = (2 - 2 cos(n pi/(n+1)))/2."""
+    from partitionedarrays_tpu.solvers.amg import spectral_radius
+
+    import scipy.sparse as sps
+
+    n = 64
+    A = build_fdm(backend4, (n,), (4,))
+    G = to_global_scipy(A)
+    Dinv = sps.diags(1.0 / np.asarray(G.diagonal()))
+    # spectrum of Dinv*A for the (scaled) 1-D Laplacian is scale-free
+    exact = (2 - 2 * np.cos(np.pi * n / (n + 1))) / 2.0
+    rho = spectral_radius(A, Dinv, iters=60)
+    assert abs(rho - exact) / exact < 0.05

@@ -302,3 +302,31 @@ def test_laplace_matrix_compat(backend4):
     assert abs(centralize(A) - A_seq).max() < 1e-13
     d = dense_diag(A)
     assert np.allclose(collect(d), A_seq.diagonal().ravel())
+
+
+def test_psparse_local_indices(backend4):
+    """Parity: psparse(...; indices=:local)
+    (src/p_sparse_matrix.jl:1150-1161) — triplets given as per-part LOCAL
+    ids into row/col partitions that already carry the needed ghosts."""
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+
+    n = 16
+    pr_own = PRange(uniform_partition(4, n))
+    pr_gh = PRange(uniform_partition(4, n, ghost=1))  # cols with 1 ghost layer
+    Is, Js, Vs = [], [], []
+    for li_r, li_c in zip(pr_own.partition(), pr_gh.partition()):
+        g2l = {int(g): l for l, g in enumerate(li_c.local_to_global())}
+        I, J, V = [], [], []
+        for lo, g in enumerate(li_r.own_to_global):
+            I.append(lo); J.append(g2l[int(g)]); V.append(2.0)
+            if g > 0:
+                I.append(lo); J.append(g2l[int(g) - 1]); V.append(-1.0)
+            if g < n - 1:
+                I.append(lo); J.append(g2l[int(g) + 1]); V.append(-1.0)
+        Is.append(np.array(I)); Js.append(np.array(J))
+        Vs.append(np.array(V, dtype=np.float64))
+    A = psparse(Is, Js, Vs, pr_own, pr_gh, backend4, assembled=True,
+                indices="local", restore_ids=False)
+    assert abs(to_global_scipy(A) - global_laplacian(n)).max() < 1e-14
+    with pytest.raises(ValueError):
+        psparse(Is, Js, Vs, pr_own, pr_gh, backend4, indices="bogus")
