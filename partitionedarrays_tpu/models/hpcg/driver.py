@@ -163,16 +163,24 @@ def hpcg_benchmark(
     if not (0.0 < time_solve <= upper):
         time_solve = upper
     assert np.allclose(norms1, normsN, rtol=1e-4)
+    window = "measured_sets"
     if total_runtime is not None:
         # official-style run WINDOW: a real benchmark run executes sets
         # until `total_runtime` elapses, which is what the rated figure
-        # amortizes setup over (HPCG/src/hpcg_benchmark.jl:81-88).  Derive
-        # the window's set count from the latency-free per-set time (the
-        # tunneled dev harness adds ~tens of ms of fixed dispatch latency
-        # per set that a production run does not pay).
+        # amortizes setup over (HPCG/src/hpcg_benchmark.jl:81-88).  The
+        # set count is derived from the latency-free per-set time, then the
+        # whole window is EXECUTED as one compiled chain (one fori_loop
+        # bound) and re-timed — the published window is a real run, not an
+        # extrapolation.
         per_set = time_solve / n_sets
         n_sets = max(int(np.ceil(total_runtime / per_set)), timed_sets)
-        time_solve = per_set * n_sets
+        runW = chained_sets(n_sets)
+        runW.lower(A, mg, b).compile()  # AOT compile: keep it out of the timing
+        t0w = time.perf_counter()
+        normsW = np.asarray(runW(A, mg, b))
+        time_solve = time.perf_counter() - t0w
+        assert np.allclose(norms1, normsW, rtol=1e-4)
+        window = "executed"
 
     report = HPCGReport(
         nrow=A.shape[0],
@@ -190,6 +198,7 @@ def hpcg_benchmark(
             "levels": n_levels,
             "final_relres": float(opt_rel[-1]),
             "dtype": np.dtype(dtype).name,
+            "phase3_window": window,
             "precond_values_dtype": (
                 str(jnp.dtype(precond_dtype)) if precond_dtype is not None else None
             ),

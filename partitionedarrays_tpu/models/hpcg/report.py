@@ -117,6 +117,11 @@ class HPCGReport:
         by = self.bytes_model()
         g = self.gflops()
         t = max(self.time_solve, 1e-12)
+        dtype = self.extra.get("dtype", "unspecified")
+        window = self.extra.get("phase3_window", "measured_sets")
+        official = " (OFFICIAL-RULES precision)" if dtype == "float64" else (
+            " (NOT official-rules precision: official HPCG is f64)"
+        )
         lines = [
             "HPCG-Benchmark (TPU-native partitionedarrays)",
             "",
@@ -124,6 +129,8 @@ class HPCGReport:
             f"Global number of rows = {self.nrow}",
             f"Global number of nonzeros = {self.nnz}",
             f"Multigrid levels = {len(self.nnz_per_level)}",
+            f"Compute dtype = {dtype}{official}",
+            f"Phase-3 window = {window}",
             "",
             "Iteration Summary:",
             f"CG sets = {self.n_sets}",

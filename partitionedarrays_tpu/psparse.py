@@ -436,7 +436,12 @@ def psparse(
     src/p_sparse_matrix.jl:1150-1161): I/J are per-part LOCAL ids into
     ``rows``/``cols`` (whose partitions must already carry any ghost ids the
     triplets touch); they are mapped to global ids here and the constructor
-    proceeds identically.  ``restore_ids`` is accepted for API parity; it is
+    proceeds identically.  NOTE: accepting ``indices="local"`` on the
+    DISASSEMBLED path (``assembled=False, assemble=True``) is a documented
+    superset of the reference API — the reference asserts
+    ``indices === :global`` when disassembled
+    (src/p_sparse_matrix.jl:1163-1168); here the local->global remap makes
+    it well-defined.  ``restore_ids`` is accepted for API parity; it is
     a no-op because this constructor never mutates its inputs (the
     reference's in-place global->local compression is what needs undoing,
     src/p_sparse_matrix.jl:1199-1208).
@@ -689,12 +694,24 @@ def consistent_matrix(A: PSparseMatrix, rows_co: PRange) -> Task:
 # SpMV (the hot path)
 # ---------------------------------------------------------------------------
 
-def spmv(A: PSparseMatrix, x: PVector, alpha=1.0, dev=None) -> PVector:
-    """y = alpha * A @ x (parity: mul!, src/p_sparse_matrix.jl:2090-2142).
+def spmv(
+    A: PSparseMatrix,
+    x: PVector,
+    alpha=1.0,
+    dev=None,
+    beta=None,
+    y: Optional[PVector] = None,
+) -> PVector:
+    """result = alpha * A @ x [+ beta * y]  (parity: 5-arg mul!(c,A,b,α,β),
+    src/p_sparse_matrix.jl:2105-2142; 3-arg form when ``y`` is None).
 
-    x must be partitioned by ``A.col_prange``.  The ghost exchange and the
-    own_own block product are data-independent, so XLA overlaps them (the
-    compiled analogue of the reference's latency hiding).
+    x must be partitioned by ``A.col_prange``; ``y`` (if given) by
+    ``A.row_prange``.  The ghost exchange and the own_own block product are
+    data-independent, so XLA overlaps them (the compiled analogue of the
+    reference's latency hiding).  alpha/beta are traced scalars — the
+    ``alpha*(...) + beta*y`` epilogue fuses into the SpMV consumer, so the
+    5-arg form saves one full vector read+write pass over
+    ``alpha*spmv(...) + beta*y``.
 
     ``dev``: optional substitute :class:`DeviceSpMat` with the same
     structure as ``A.device()`` (e.g. a reduced-precision values copy)."""
@@ -704,46 +721,75 @@ def spmv(A: PSparseMatrix, x: PVector, alpha=1.0, dev=None) -> PVector:
     rlay = A.row_layout()
     backend = A.backend
     has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
+    has_y = y is not None
+    if has_y and beta is None:
+        beta = 1.0
+    # alpha==1.0 (the hot default) statically skips the epilogue entirely:
+    # a Pallas SpMV output cannot fuse with outer XLA elementwise ops, so an
+    # unconditional `alpha*out` would cost a full extra vector pass
+    has_alpha = not (isinstance(alpha, (int, float)) and alpha == 1.0)
+    # scalars must carry the leading parts axis to ride vmap/shard_map
+    P = rlay.n_parts
+
+    def _b(s):
+        return jnp.broadcast_to(jnp.asarray(s, x.own.dtype), (P,))
+
+    extras = ()
+    if has_alpha:
+        extras += (_b(alpha),)
+    if has_y:
+        extras += (_b(beta), y.own)
+
+    def epilogue(out, rest):
+        i = 0
+        if has_alpha:
+            out = rest[i] * out
+            i += 1
+        if has_y:
+            out = out + rest[i] * rest[i + 1]
+        return out
 
     if A.assembled:
         if has_cg:
             def make_f():
-                def f(xo, xg, cplan, oo, oh):
+                def f(xo, xg, cplan, oo, oh, *rest):
                     g = cplan.apply(xo, xg, "set")
-                    return oo.spmv(xo) + oh.spmv(g)
+                    return epilogue(oo.spmv(xo) + oh.spmv(g), rest)
 
                 return f
 
-            y_own = backend.spmd_cached(("spmv_cg",), make_f)(
-                x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh
+            y_own = backend.spmd_cached(("spmv_cg", has_alpha, has_y), make_f)(
+                x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh, *extras
             )
         else:
             def make_f():
-                def f(xo, oo):
-                    return oo.spmv(xo)
+                def f(xo, oo, *rest):
+                    return epilogue(oo.spmv(xo), rest)
 
                 return f
 
-            y_own = backend.spmd_cached(("spmv",), make_f)(x.own, dev.oo)
+            y_own = backend.spmd_cached(("spmv", has_alpha, has_y), make_f)(
+                x.own, dev.oo, *extras
+            )
         y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
     else:
         def make_f(has_cg=has_cg):
-            def f(xo, xg, cplan, rplan, oo, oh, ho, hh):
+            def f(xo, xg, cplan, rplan, oo, oh, ho, hh, *rest):
                 g = cplan.apply(xo, xg, "set") if has_cg else xg
                 yo = oo.spmv(xo) + oh.spmv(g)
                 yg = ho.spmv(xo) + hh.spmv(g)
                 yo = rplan.apply(yg, yo, "add")
-                return yo
+                return epilogue(yo, rest)
 
             return f
 
-        y_own = backend.spmd_cached(("spmv_sub", has_cg), make_f)(
+        y_own = backend.spmd_cached(
+            ("spmv_sub", has_cg, has_alpha, has_y), make_f
+        )(
             x.own, x.ghost, clay.consistent_plan, rlay.assemble_plan,
-            dev.oo, dev.oh, dev.ho, dev.hh,
+            dev.oo, dev.oh, dev.ho, dev.hh, *extras,
         )
         y_ghost = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=y_own.dtype)
-    if alpha != 1.0:
-        y_own = alpha * y_own
     return PVector(y_own, y_ghost, rlay, backend)
 
 

@@ -111,24 +111,28 @@ def strength_graph(
     which matches the reference's pyamg-style predicate
     ``|G_ij| >= eps*sqrt(G_ii*G_jj)``.  With a numeric ``epsilon`` the
     thresholded 0/1 graph of the reference's public function is returned
-    (diagonal included when epsilon <= 1, amg.jl:678-704)."""
+    (diagonal included when epsilon <= 1, amg.jl:678-704).  ``bs == 1``
+    short-circuits to A itself BEFORE any thresholding, matching the
+    reference's early return (amg.jl:663-665) — thresholding raw signed
+    entries would drop negative couplings (e.g. Laplacian off-diagonals)."""
     bs = int(block_size)
-    if epsilon is not None and epsilon < 0:
-        raise ValueError("Expected epsilon >= 0.")
+    if bs < 1:
+        raise ValueError("Block size must be equal to or larger than 1.")
     if A.shape[0] != A.shape[1]:
         raise ValueError("Matrix must be square.")
+    if A.shape[0] % bs != 0:
+        raise ValueError("Matrix size must be multiple of block size.")
     if bs == 1:
-        G = A.tocsr()
-    else:
-        if A.shape[0] % bs != 0:
-            raise ValueError("Matrix size must be multiple of block size.")
-        coo = A.tocoo()
-        ni = coo.row // bs
-        nj = coo.col // bs
-        n_nodes = -(-A.shape[0] // bs)
-        G = sp.coo_matrix((coo.data**2, (ni, nj)), shape=(n_nodes, n_nodes)).tocsr()
-        G.sum_duplicates()
-        G.data = np.sqrt(G.data)
+        return A.tocsr()
+    if epsilon is not None and epsilon < 0:
+        raise ValueError("Expected epsilon >= 0.")
+    coo = A.tocoo()
+    ni = coo.row // bs
+    nj = coo.col // bs
+    n_nodes = -(-A.shape[0] // bs)
+    G = sp.coo_matrix((coo.data**2, (ni, nj)), shape=(n_nodes, n_nodes)).tocsr()
+    G.sum_duplicates()
+    G.data = np.sqrt(G.data)
     if epsilon is None:
         return G
     G = G.tocoo()
@@ -750,8 +754,9 @@ class AMGPreconditioner:
 
 
 def _residual_vec(A: PSparseMatrix, b: PVector, x: PVector) -> PVector:
-    Ax = spmv(A, _col_view(A, x))
-    return PVector(b.own - Ax.own, jnp.zeros_like(b.ghost), b.layout, b.backend)
+    # fused 5-arg SpMV: r = -1*A@x + 1*b in one pass
+    r = spmv(A, _col_view(A, x), alpha=-1.0, beta=1.0, y=_row_view(A, b))
+    return PVector(r.own, jnp.zeros_like(b.ghost), b.layout, b.backend)
 
 
 def _col_view(A: PSparseMatrix, v: PVector) -> PVector:

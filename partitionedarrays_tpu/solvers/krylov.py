@@ -182,13 +182,9 @@ def _as_row_vector(A: PSparseMatrix, v: PVector) -> PVector:
 
 
 def _residual(A: PSparseMatrix, b: PVector, x: PVector) -> PVector:
-    Ax = spmv(A, _as_col_vector(A, x))
-    return PVector(
-        b.own - Ax.own,
-        jnp.zeros_like(b.ghost) if b.ghost.size else b.ghost,
-        b.layout,
-        b.backend,
-    )
+    # fused 5-arg SpMV: r = -1*A@x + 1*b in one pass (parity: mul!(c,A,b,α,β))
+    r = spmv(A, _as_col_vector(A, x), alpha=-1.0, beta=1.0, y=_as_row_vector(A, b))
+    return PVector(r.own, jnp.zeros_like(r.ghost), b.layout, b.backend)
 
 
 def richardson_iteration(
