@@ -42,6 +42,16 @@ class Backend:
     def spmd(self, f: Callable) -> Callable:
         raise NotImplementedError
 
+    def device_context(self):
+        """Context manager pinning eager/jit device builds to THIS
+        backend's platform.  Crucial when a plugin backend (e.g. a remote
+        TPU) is the process default but the mesh lives elsewhere (CPU
+        dryruns): without the pin, every setup-time ``jax.jit`` build
+        round-trips through the default platform's compiler."""
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def spmd_cached(self, key, make_f: Callable[[], Callable]) -> Callable:
         """Memoized, jitted SPMD wrapper.
 
@@ -94,6 +104,21 @@ class MeshBackend(Backend):
             mesh = Mesh(devices, (AXIS,))
         self.mesh = mesh
         self.n_parts = mesh.shape[AXIS]
+        # If the mesh lives on a different platform than the process
+        # default (e.g. a CPU dryrun while a remote-TPU plugin is the
+        # default backend), pin the default device to the mesh's platform:
+        # otherwise every setup-time jnp/jit build would compile and run
+        # on the default platform and be dragged across afterwards —
+        # minutes of remote compiles for a CPU-mesh run.
+        me = jax.process_index()
+        first_local = next(
+            (d for d in self.mesh.devices.flat if d.process_index == me), None
+        )
+        if (
+            first_local is not None
+            and first_local.platform != jax.default_backend()
+        ):
+            jax.config.update("jax_default_device", first_local)
         from . import config
 
         config.enable_compilation_cache()
@@ -115,12 +140,62 @@ class MeshBackend(Backend):
         )
         return fn
 
+    def device_context(self):
+        me = jax.process_index()
+        for d in self.mesh.devices.flat:
+            if d.process_index == me:
+                return jax.default_device(d)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    @property
+    def is_multiprocess(self) -> bool:
+        """True when the mesh spans more than one host process (the
+        reference's MPI tier; here: multi-controller JAX)."""
+        procs = {d.process_index for d in self.mesh.devices.flat}
+        return len(procs) > 1
+
+    def local_parts(self):
+        """Part indices whose device belongs to THIS process.  Per-process
+        construction (the analogue of the reference's one-item-per-rank
+        MPIArray, src/mpi_array.jl:105-117) only needs to materialize
+        values for these parts."""
+        me = jax.process_index()
+        return [
+            p
+            for p, d in enumerate(self.mesh.devices.flat)
+            if d.process_index == me
+        ]
+
     def shard(self, tree):
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+        if not self.is_multiprocess:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+        # multi-process: each process materializes ONLY its addressable
+        # shards.  The callback receives the index of one shard; lazy
+        # per-part providers (callables) are invoked per requested part,
+        # so non-local parts' values are never built on this host.
+        def put(x):
+            if callable(x):
+                shape, dtype, provider = x()
+                return jax.make_array_from_callback(
+                    shape,
+                    NamedSharding(self.mesh, PartitionSpec(AXIS)),
+                    lambda idx: np.asarray(provider(idx), dtype=dtype),
+                )
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already globally sharded
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(
+                xh.shape, sharding, lambda idx: xh[idx]
+            )
+
+        return jax.tree.map(put, tree)
 
     def __repr__(self):
-        return f"MeshBackend(n_parts={self.n_parts})"
+        return f"MeshBackend(n_parts={self.n_parts}, multiprocess={self.is_multiprocess})"
 
 
 # -- entry points (parity: with_debug src/debug_array.jl:7, with_mpi
@@ -160,9 +235,21 @@ def with_multihost(
 
     Initializes ``jax.distributed`` (auto-detected on TPU pods launched
     with the standard runtime; pass coordinator/num_processes/process_id
-    explicitly elsewhere) and builds a :class:`MeshBackend` over the
-    GLOBAL device set, so the same SPMD program spans every host —
-    collectives ride ICI within a slice and DCN between slices.
+    explicitly elsewhere — on CPU set
+    ``JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo``) and builds a
+    :class:`MeshBackend` over the GLOBAL device set, so the same SPMD
+    program spans every host — collectives ride ICI within a slice and
+    DCN between slices.  ``jax.distributed.initialize`` MUST run before
+    any backend is touched; import this module first in a fresh process.
+
+    Each process then runs the SAME setup code (multi-controller SPMD:
+    host setup is deterministic and replicated, device arrays are
+    materialized per process only for its addressable shards via
+    ``MeshBackend.shard``), and the error/abort semantics of the
+    reference's ``with_mpi`` (MPI.Abort on error so no zombie ranks
+    survive) map to the JAX distributed runtime's built-in fatal-error
+    propagation: an uncaught exception tears down the coordination
+    service, which terminates every peer process.
 
     Use as ``with_multihost(main)`` or ``backend = with_multihost()``.
     """
@@ -176,6 +263,8 @@ def with_multihost(
         or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
     )
     if multiproc:
+        # NOTE: do not query jax.process_count() here — it would
+        # initialize the backends before jax.distributed does
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

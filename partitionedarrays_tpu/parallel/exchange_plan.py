@@ -103,21 +103,37 @@ class ExchangePlan:
     # -- SPMD apply (call inside backend.spmd; args are per-part slices)
     def apply(self, src_vals: jnp.ndarray, dst_vals: jnp.ndarray, combine: str):
         """Run all rounds.  ``combine``: "add" (assemble) or "set"
-        (consistent / insert)."""
+        (consistent / insert).
+
+        The rounds are DATA-INDEPENDENT: every round packs from the same
+        ``src_vals`` and the received buffers are concatenated and unpacked
+        by a single scatter at the end.  This keeps all ``ppermute`` rounds
+        free of sequential dependencies so XLA's async scheduler can issue
+        them concurrently (with each other and with unrelated compute) —
+        the multi-neighbor analogue of the reference's Isend/Irecv-per-
+        neighbor + single Waitall (src/mpi_array.jl:539-614).  A chained
+        per-round scatter would serialize round r+1 behind round r."""
+        if combine not in ("add", "set"):
+            raise ValueError(combine)
+        if self.n_rounds == 0:
+            return dst_vals
+        bufs = []
         for r in range(self.n_rounds):
             buf = jnp.take(src_vals, self.snd_idx[r], mode="fill", fill_value=0)
-            buf = jax.lax.ppermute(buf, AXIS, perm=self.perms[r])
-            if combine == "add":
-                dst_vals = dst_vals.at[self.rcv_idx[r]].add(
-                    buf, mode="drop", indices_are_sorted=False, unique_indices=False
-                )
-            elif combine == "set":
-                dst_vals = dst_vals.at[self.rcv_idx[r]].set(
-                    buf, mode="drop", unique_indices=True
-                )
-            else:
-                raise ValueError(combine)
-        return dst_vals
+            bufs.append(jax.lax.ppermute(buf, AXIS, perm=self.perms[r]))
+        allbuf = jnp.concatenate(bufs, axis=-1) if len(bufs) > 1 else bufs[0]
+        allidx = (
+            jnp.concatenate(self.rcv_idx, axis=-1)
+            if len(self.rcv_idx) > 1
+            else self.rcv_idx[0]
+        )
+        if combine == "add":
+            return dst_vals.at[allidx].add(
+                allbuf, mode="drop", indices_are_sorted=False, unique_indices=False
+            )
+        # "set": every destination slot has exactly one source across ALL
+        # rounds (one owner per ghost), so the merged scatter stays unique
+        return dst_vals.at[allidx].set(allbuf, mode="drop", unique_indices=True)
 
 
 def _build_plan(

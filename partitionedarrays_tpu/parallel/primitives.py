@@ -255,6 +255,27 @@ def allocate_exchange(graph: ExchangeGraph, lengths_snd: Sequence[Sequence[int]]
     ]
 
 
+def host_consistent(pr, own_parts: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Setup-tier halo exchange on HOST numpy arrays: returns per-part ghost
+    values filled from the owners' own values (the consistent! direction of
+    the assembly graph, src/p_vector.jl:747-755).  Only neighbor data moves
+    — used by setup algorithms (e.g. the AMG power method) that must not
+    build global vectors or touch the device."""
+    g = pr.assembly_graph()
+    P = pr.n_parts
+    ghosts = [
+        np.zeros(li.n_ghost, dtype=np.asarray(own_parts[p]).dtype)
+        for p, li in enumerate(pr.partition())
+    ]
+    for o in range(P):
+        for k, dst in enumerate(g.neighbors_rcv[o]):
+            payload = np.asarray(own_parts[o])[g.rcv_own[o][k]]
+            # find the matching ghost slot list on the receiver
+            j = g.neighbors_snd[dst].index(o)
+            ghosts[dst][g.snd_ghost[dst][j]] = payload
+    return ghosts
+
+
 def allocate_scatter(parts_on_source, source: int = MAIN):
     """Parity: allocate_scatter (src/primitives.jl:357-437) — the
     allocate/fill split is a host-tier convenience here (device buffers

@@ -14,8 +14,11 @@ TPU-native split of responsibilities:
 
 - **Setup on host** (this file, numpy/scipy): triplet shuffling to row
   owners, ghost-column discovery, 4-block classification, CSR compression,
-  sparse products (spmm/rap) — all global-view, no runtime neighbor
-  discovery.
+  sparse products (spmm/spmtm/rap) — all DISTRIBUTED over per-part blocks
+  with per-neighbor triplet/request exchanges (peak memory O(local nnz)
+  per part); the exchange graph is computed directly, no runtime NBX.
+  Only ``centralize``/``to_global_scipy`` (debug/LU fallback) ever build a
+  global matrix.
 - **Iteration on device**: each block frozen into padded ELL
   (ops/ell.py); SpMV = ghost exchange (edge-colored ppermute rounds,
   scheduled by XLA concurrently with the own_own block product — the
@@ -352,15 +355,22 @@ def _build_part_blocks(
     row_is_own = iro >= 0
     if subassembled:
         gI = I[~row_is_own]
+        li_row2 = li_row
         if gI.size:
             gids = np.unique(gI)
-            owners = li_row.global_to_owner(gids) if li_row.global_to_owner else None
-            if owners is None:
-                raise ValueError("subassembled psparse requires global_to_owner on rows")
-            gids, owners = _sorted_ghosts(gids, np.asarray(owners, dtype=INT))
-            li_row2 = li_row.union_ghost(gids, owners)
-        else:
-            li_row2 = li_row
+            # only genuinely NEW ghost rows need an owner lookup; when the
+            # partition already carries every touched ghost (e.g. rows_co in
+            # consistent_matrix) identity is preserved so layout caches and
+            # block alignment (spmm) keep working
+            new_g = gids[li_row.global_to_ghost(gids) < 0]
+            if new_g.size:
+                if li_row.global_to_owner is None:
+                    raise ValueError(
+                        "subassembled psparse requires global_to_owner on rows"
+                    )
+                owners = np.asarray(li_row.global_to_owner(new_g), dtype=INT)
+                new_g, owners = _sorted_ghosts(new_g, owners)
+                li_row2 = li_row.union_ghost(new_g, owners)
         irg = li_row2.global_to_ghost(I)
     else:
         assert row_is_own.all(), "assembled psparse: off-owner rows present"
@@ -590,6 +600,133 @@ def psparse_refill(A: PSparseMatrix, V_parts, cache) -> None:
     A.invalidate_device()
 
 
+class DeviceRefill:
+    """Compiled re-fill of the FROZEN device blocks at fixed sparsity
+    (parity: psparse!, src/p_sparse_matrix.jl:1291-1305 — re-designed so
+    Newton/ODE re-assembly never leaves the device).
+
+    Built once from a matrix and its ``psparse(reuse=True)`` cache: for
+    every original triplet it precomputes (destination part, flat slot in
+    the frozen DIA/ELL value array), composing the reuse cache's CSR data
+    position with the static freeze layout (DIA: slot = d*R + row; ELL:
+    slot = row*K + lane).  Calling it with the stacked new values
+    ``V[P, n_orig_pad]`` returns a fresh :class:`DeviceSpMat` via one
+    scatter-add per block — pass it to ``spmv(A, x, dev=...)``.
+    """
+
+    def __init__(self, A: PSparseMatrix, cache):
+        order = ("oo", "oh", "ho", "hh")
+        dev = A.device()
+        devs = {"oo": dev.oo, "oh": dev.oh, "ho": dev.ho, "hh": dev.hh}
+        dest_part, dest_block, dest_pos = cache
+        P = len(A.blocks)
+        self.n_orig = [dp.shape[0] for dp in dest_part]
+        self.n_orig_pad = max([1] + self.n_orig)
+        self.dtype = A.dtype
+        # per (part, block): csr data position -> flat slot
+        slot_of_pos = {}
+        for name in order:
+            db = devs[name]
+            if db is None:
+                continue
+            for p in range(P):
+                csr = A.blocks[p].get(name)
+                if csr is None:
+                    continue
+                csr = csr.tocsr()
+                nnz_row = np.diff(csr.indptr)
+                rows = np.repeat(np.arange(csr.shape[0]), nnz_row)
+                if db.kind == "dia":
+                    offs = np.asarray(db.offsets, dtype=np.int64)
+                    d = np.searchsorted(offs, csr.indices.astype(np.int64) - rows)
+                    R = db.vals.shape[-1]
+                    slot = d * R + rows
+                else:
+                    lane = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], nnz_row)
+                    K = db.vals.shape[-1]
+                    slot = rows * K + lane
+                slot_of_pos[(p, name)] = slot.astype(np.int64)
+        # scatter tables per block: (orig part, orig pos, dest part, slot)
+        self.tables = {}
+        for bi, name in enumerate(order):
+            if devs[name] is None:
+                continue
+            qs, ts, ps, slots = [], [], [], []
+            for q in range(P):
+                sel = np.flatnonzero(
+                    (dest_block[q] == bi) & (dest_part[q] >= 0) & (dest_pos[q] >= 0)
+                )
+                if not sel.size:
+                    continue
+                dps = dest_part[q][sel]
+                qs.append(np.full(sel.size, q, dtype=np.int32))
+                ts.append(sel.astype(np.int32))
+                ps.append(dps.astype(np.int32))
+                slot_q = np.empty(sel.size, dtype=np.int64)
+                for p_ in np.unique(dps):
+                    m = dps == p_
+                    slot_q[m] = slot_of_pos[(int(p_), name)][dest_pos[q][sel[m]]]
+                slots.append(slot_q)
+            if qs:
+                self.tables[name] = tuple(
+                    jnp.asarray(np.concatenate(a))
+                    for a in (qs, ts, ps, slots)
+                )
+            else:
+                self.tables[name] = None
+        # static output shapes + shared column/offset structure
+        self._shape = {
+            name: (None if devs[name] is None else tuple(int(s) for s in devs[name].vals.shape))
+            for name in order
+        }
+        self._dev = devs
+
+    def stack_values(self, V_parts) -> jnp.ndarray:
+        """Host helper: per-part original-value arrays -> [P, n_orig_pad]."""
+        P = len(V_parts)
+        out = np.zeros((P, self.n_orig_pad), dtype=self.dtype)
+        for q, v in enumerate(V_parts):
+            v = np.asarray(v)
+            out[q, : v.size] = v
+        return jnp.asarray(out)
+
+    def __call__(self, V_stacked: jnp.ndarray) -> DeviceSpMat:
+        from .ops.blocks import DeviceBlock, make_dia_block
+
+        out = {}
+        for name in ("oo", "oh", "ho", "hh"):
+            db = self._dev[name]
+            if db is None:
+                out[name] = None
+                continue
+            Pn, *rest = self._shape[name]
+            flat_n = int(np.prod(rest))
+            tab = self.tables[name]
+            if tab is None:
+                newv = jnp.zeros((Pn, flat_n), dtype=V_stacked.dtype)
+            else:
+                q, t, p, slot = tab
+                vals = V_stacked[q, t]
+                newv = (
+                    jnp.zeros((Pn, flat_n), dtype=V_stacked.dtype)
+                    .at[p, slot]
+                    .add(vals)
+                )
+            newv = newv.reshape(self._shape[name]).astype(db.vals.dtype)
+            if db.kind == "dia":
+                out[name] = make_dia_block(db.offsets, db.n_cols_pad, newv)
+            else:
+                out[name] = DeviceBlock(
+                    "ell", None, db.n_cols_pad, db.cols, newv
+                )
+        return DeviceSpMat(out["oo"], out["oh"], out["ho"], out["hh"])
+
+
+def device_refill_plan(A: PSparseMatrix, cache) -> DeviceRefill:
+    """Build the compiled-refill plan (see :class:`DeviceRefill`)."""
+    return DeviceRefill(A, cache)
+
+
 def psparse_from_blocks(
     blocks: List[dict], rows: PRange, cols: PRange, backend: Backend, assembled=True
 ) -> PSparseMatrix:
@@ -655,34 +792,140 @@ def centralize(A: PSparseMatrix) -> sp.csr_matrix:
     return to_global_scipy(A)
 
 
+def _part_triplets(
+    b: dict, li_r: LocalIndices, li_c: LocalIndices, names=("oo", "oh")
+):
+    """Global-id (I, J, V) triplets of the selected blocks of ONE part.
+    Purely local: touches only this part's data."""
+    row_maps = {
+        "oo": li_r.own_to_global, "oh": li_r.own_to_global,
+        "ho": li_r.ghost_to_global, "hh": li_r.ghost_to_global,
+    }
+    col_maps = {
+        "oo": li_c.own_to_global, "oh": li_c.ghost_to_global,
+        "ho": li_c.own_to_global, "hh": li_c.ghost_to_global,
+    }
+    Is, Js, Vs = [], [], []
+    for name in names:
+        blk = b.get(name)
+        if blk is None or blk.nnz == 0:
+            continue
+        coo = blk.tocoo()
+        Is.append(row_maps[name][coo.row])
+        Js.append(col_maps[name][coo.col])
+        Vs.append(coo.data)
+    if not Is:
+        z = np.zeros(0, dtype=INT)
+        return z, z, np.zeros(0, dtype=b["oo"].dtype)
+    return np.concatenate(Is), np.concatenate(Js), np.concatenate(Vs)
+
+
+def _hstack_local(b: dict, which=("oo", "oh")) -> sp.csr_matrix:
+    """[own_cols | ghost_cols] local-row block of one part as CSR."""
+    mats = [b[k] for k in which if b.get(k) is not None]
+    if len(mats) == 1:
+        return mats[0].tocsr()
+    return sp.hstack(mats, format="csr")
+
+
 def assemble_matrix(A: PSparseMatrix) -> Task:
     """Subassembled -> assembled (parity: assemble,
-    src/p_sparse_matrix.jl:1564-1756)."""
+    src/p_sparse_matrix.jl:1564-1756).
+
+    Distributed algorithm on per-part blocks: each part turns its
+    ghost-row blocks (ho/hh) into global triplets, groups them by the row
+    owner (a per-neighbor triplet message, the host-tier analogue of the
+    reference's three async exchanges at :1733-1736), and every owner
+    merges the received triplets with its own oo/oh blocks.  Peak memory
+    is O(local nnz) per part; no global matrix is ever materialized."""
     if A.assembled:
         return Task(A)
-    rows_own = PRange([li.remove_ghost() for li in A.row_prange.partition()])
-    cols_own = PRange([li.remove_ghost() for li in A.col_prange.partition()])
-    G = to_global_scipy(A)
-    return Task(psparse_from_global(G, rows_own, cols_own, A.backend))
+    P = A.row_prange.n_parts
+    dtype = A.dtype
+    # pack: per-destination triplet messages from the ghost-row blocks
+    msgs: List[List[tuple]] = [[] for _ in range(P)]
+    own_tri = []
+    for b, li_r, li_c in zip(
+        A.blocks, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        own_tri.append(_part_triplets(b, li_r, li_c, ("oo", "oh")))
+        Ig, Jg, Vg = _part_triplets(b, li_r, li_c, ("ho", "hh"))
+        if Ig.size:
+            owners = li_r.ghost_to_owner[li_r.global_to_ghost(Ig)]
+            order = np.argsort(owners, kind="stable")
+            owners_s = owners[order]
+            cuts = np.flatnonzero(np.diff(owners_s)) + 1
+            for grp in np.split(order, cuts):
+                msgs[int(owners[grp[0]])].append((Ig[grp], Jg[grp], Vg[grp]))
+    # unpack + merge on each owner
+    blocks, new_rows, new_cols = [], [], []
+    for p, (li_r, li_c) in enumerate(
+        zip(A.row_prange.partition(), A.col_prange.partition())
+    ):
+        chunks = [own_tri[p]] + msgs[p]
+        I = np.concatenate([c[0] for c in chunks])
+        J = np.concatenate([c[1] for c in chunks])
+        V = np.concatenate([c[2] for c in chunks])
+        b2, li_r2, li_c2, _ = _build_part_blocks(
+            li_r.remove_ghost(), li_c, I, J, V, False, dtype
+        )
+        blocks.append(b2)
+        new_rows.append(li_r2)
+        new_cols.append(li_c2)
+    return Task(
+        PSparseMatrix(blocks, PRange(new_rows), PRange(new_cols), A.backend, True)
+    )
 
 
 def consistent_matrix(A: PSparseMatrix, rows_co: PRange) -> Task:
     """Assembled -> overlapped: fetch the rows a part ghosts
     (parity: consistent, src/p_sparse_matrix.jl:1821-2040).  ``rows_co`` is
-    a row partition with the wanted ghost rows."""
+    a row partition with the wanted ghost rows.
+
+    Distributed algorithm: each part sends its wanted ghost-row ids to the
+    owners (request exchange); owners reply with the triplets of those rows
+    (the reference's snd of own rows wanted by others, :1836-2040); the
+    receiver classifies its existing oo/oh plus the received rows into the
+    four split blocks, union-ghosting any new columns.  Peak memory is
+    O(local nnz + fetched nnz) per part."""
     assert A.assembled
-    G = to_global_scipy(A).tocsr()
-    cols_pr = A.col_prange
     P = rows_co.n_parts
+    dtype = A.dtype
+    # request exchange: wanted ghost-row gids grouped by owner
+    requests: List[List[tuple]] = [[] for _ in range(P)]  # [(requester, gids)]
+    for p, li in enumerate(rows_co.partition()):
+        if li.n_ghost == 0:
+            continue
+        owners = li.ghost_to_owner
+        order = np.argsort(owners, kind="stable")
+        owners_s = owners[order]
+        cuts = np.flatnonzero(np.diff(owners_s)) + 1
+        for grp in np.split(order, cuts):
+            requests[int(owners[grp[0]])].append((p, li.ghost_to_global[grp]))
+    # reply exchange: owners extract the requested rows as global triplets
+    replies: List[List[tuple]] = [[] for _ in range(P)]
+    for o in range(P):
+        if not requests[o]:
+            continue
+        b, li_r, li_c = A.blocks[o], A.row_prange[o], A.col_prange[o]
+        loc = _hstack_local(b)
+        col_g = np.concatenate([li_c.own_to_global, li_c.ghost_to_global])
+        for (p, gids) in requests[o]:
+            pos = li_r.global_to_own(gids)
+            assert (pos >= 0).all(), "consistent_matrix: requested non-own row"
+            sub = loc[pos].tocoo()
+            replies[p].append((gids[sub.row], col_g[sub.col], sub.data))
+    # merge on the requester: own rows stay, fetched rows become ho/hh
     blocks, new_rows, new_cols = [], [], []
-    for li_r, li_c in zip(rows_co.partition(), cols_pr.partition()):
-        rows_l = np.concatenate([li_r.own_to_global, li_r.ghost_to_global])
-        sub = G[rows_l].tocoo()
-        I = rows_l[sub.row]
-        b, li_r2, li_c2, _ = _build_part_blocks(
-            li_r, li_c.remove_ghost(), I, sub.col.astype(INT), sub.data, True, A.dtype
-        )
-        blocks.append(b)
+    for p, (li_r, li_c) in enumerate(
+        zip(rows_co.partition(), A.col_prange.partition())
+    ):
+        chunks = [_part_triplets(A.blocks[p], A.row_prange[p], li_c)] + replies[p]
+        I = np.concatenate([c[0] for c in chunks])
+        J = np.concatenate([c[1] for c in chunks])
+        V = np.concatenate([c[2] for c in chunks])
+        b2, li_r2, li_c2, _ = _build_part_blocks(li_r, li_c, I, J, V, True, dtype)
+        blocks.append(b2)
         new_rows.append(li_r2)
         new_cols.append(li_c2)
     return Task(
@@ -865,50 +1108,160 @@ def sparse_diag_matrix(v: PVector, rows: Optional[PRange] = None) -> PSparseMatr
 
 def spmm(A: PSparseMatrix, B: PSparseMatrix) -> PSparseMatrix:
     """C = A @ B (parity: spmm, src/p_sparse_matrix.jl:2227-2261).
-    Host/setup-time path via the global view."""
-    G = to_global_scipy(A) @ to_global_scipy(B)
-    rows = A.row_prange
-    cols = PRange([li.remove_ghost() for li in B.col_prange.partition()])
-    return psparse_from_global(G, rows, cols, A.backend)
+
+    Distributed algorithm: ``consistent(B)`` fetches the B-rows matching
+    A's ghost columns (the reference's :2246), then each part multiplies
+    its local [oo|oh] row block of A by the local
+    [[oo,oh],[ho,hh]] block of the fetched B — A's local column space and
+    Bc's local row space are aligned by construction.  Peak memory is
+    O(local nnz) per part."""
+    assert A.assembled and B.assembled
+    from .parallel.p_range import matching_own_indices
+
+    rows_co = PRange(
+        [
+            lb.replace_ghost(lc.ghost_to_global, lc.ghost_to_owner)
+            for lb, lc in zip(B.row_prange.partition(), A.col_prange.partition())
+        ]
+    )
+    for lb, lc in zip(B.row_prange.partition(), A.col_prange.partition()):
+        if not matching_own_indices(lb, lc):
+            raise ValueError("spmm: A's column owners must match B's row owners")
+    Bc = consistent_matrix(B, rows_co).wait()
+    dtype = np.result_type(A.dtype, B.dtype)
+    blocks, new_rows, new_cols = [], [], []
+    for ba, bb, li_ra, li_rb, li_cb in zip(
+        A.blocks,
+        Bc.blocks,
+        A.row_prange.partition(),
+        Bc.row_prange.partition(),
+        Bc.col_prange.partition(),
+    ):
+        A_loc = _hstack_local(ba)  # own rows x [own|ghost] cols of A
+        top = _hstack_local(bb, ("oo", "oh"))
+        if li_rb.n_ghost:
+            bot = _hstack_local(bb, ("ho", "hh"))
+            B_loc = sp.vstack([top, bot], format="csr")
+        else:
+            B_loc = top
+        C_loc = (A_loc @ B_loc).tocoo()
+        col_g = np.concatenate([li_cb.own_to_global, li_cb.ghost_to_global])
+        I = li_ra.own_to_global[C_loc.row]
+        J = col_g[C_loc.col]
+        b2, li_r2, li_c2, _ = _build_part_blocks(
+            li_ra.remove_ghost(),
+            li_cb.remove_ghost(),
+            I,
+            J,
+            C_loc.data.astype(dtype, copy=False),
+            False,
+            dtype,
+        )
+        blocks.append(b2)
+        new_rows.append(li_r2)
+        new_cols.append(li_c2)
+    return PSparseMatrix(
+        blocks, PRange(new_rows), PRange(new_cols), A.backend, True
+    )
 
 
 def spmtm(A: PSparseMatrix, B: PSparseMatrix) -> PSparseMatrix:
-    """C = A.T @ B (parity: spmtm, src/p_sparse_matrix.jl:2263-2296)."""
-    G = to_global_scipy(A).T @ to_global_scipy(B)
+    """C = A.T @ B (parity: spmtm, src/p_sparse_matrix.jl:2263-2296).
+
+    Distributed: each part computes its local contribution
+    [oo|oh]_A^T @ [oo|oh]_B (a subassembled result on A's column
+    partition, the reference's :2263-2296), then the disassembled-COO
+    constructor shuffles the ghost-row contributions to their owners."""
+    assert A.assembled and B.assembled
+    if A.row_prange.n_global != B.row_prange.n_global:
+        raise ValueError("spmtm: A and B must share the row partition")
+    dtype = np.result_type(A.dtype, B.dtype)
+    I_parts, J_parts, V_parts = [], [], []
+    for ba, bb, li_ca, li_cb in zip(
+        A.blocks, B.blocks, A.col_prange.partition(), B.col_prange.partition()
+    ):
+        A_loc = _hstack_local(ba)
+        B_loc = _hstack_local(bb)
+        C_loc = (A_loc.T.tocsr() @ B_loc).tocoo()
+        rg = np.concatenate([li_ca.own_to_global, li_ca.ghost_to_global])
+        cg = np.concatenate([li_cb.own_to_global, li_cb.ghost_to_global])
+        I_parts.append(rg[C_loc.row])
+        J_parts.append(cg[C_loc.col])
+        V_parts.append(C_loc.data.astype(dtype, copy=False))
     rows = PRange([li.remove_ghost() for li in A.col_prange.partition()])
     cols = PRange([li.remove_ghost() for li in B.col_prange.partition()])
-    return psparse_from_global(G.tocsr(), rows, cols, A.backend)
+    return psparse(
+        I_parts, J_parts, V_parts, rows, cols, A.backend,
+        assembled=False, assemble=True, dtype=dtype,
+    )
 
 
 def rap(R: PSparseMatrix, A: PSparseMatrix, Pm: PSparseMatrix) -> PSparseMatrix:
     """Galerkin triple product R @ A @ P (parity: rap,
-    src/p_sparse_matrix.jl:2212-2225)."""
-    G = to_global_scipy(R) @ to_global_scipy(A) @ to_global_scipy(Pm)
-    rows = R.row_prange
-    cols = PRange([li.remove_ghost() for li in Pm.col_prange.partition()])
-    return psparse_from_global(G.tocsr(), rows, cols, R.backend)
+    src/p_sparse_matrix.jl:2212-2225) — two distributed spmm calls."""
+    return spmm(R, spmm(A, Pm))
 
 
 def transpose_psparse(A: PSparseMatrix) -> PSparseMatrix:
-    G = to_global_scipy(A).T.tocsr()
+    """A^T, distributed: each part emits its [oo|oh] triplets with row/col
+    swapped (contributions to rows owned by the column owners) and the
+    disassembled-COO constructor shuffles them home."""
+    assert A.assembled
+    I_parts, J_parts, V_parts = [], [], []
+    for b, li_r, li_c in zip(
+        A.blocks, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        I, J, V = _part_triplets(b, li_r, li_c)
+        I_parts.append(J)
+        J_parts.append(I)
+        V_parts.append(V)
     rows = PRange([li.remove_ghost() for li in A.col_prange.partition()])
     cols = PRange([li.remove_ghost() for li in A.row_prange.partition()])
-    return psparse_from_global(G, rows, cols, A.backend)
+    return psparse(
+        I_parts, J_parts, V_parts, rows, cols, A.backend,
+        assembled=False, assemble=True, dtype=A.dtype,
+    )
 
 
 def identity_minus(A: PSparseMatrix) -> PSparseMatrix:
-    """I - A (parity: src/p_sparse_matrix.jl:2309-2315)."""
-    G = sp.identity(A.shape[0], dtype=A.dtype, format="csr") - to_global_scipy(A)
-    cols = PRange([li.remove_ghost() for li in A.col_prange.partition()])
-    return psparse_from_global(G.tocsr(), A.row_prange, cols, A.backend)
+    """I - A (parity: src/p_sparse_matrix.jl:2309-2315).  Purely blockwise:
+    the identity lands in own_own where global row == global col."""
+    assert A.assembled
+    blocks = []
+    for b, li_r, li_c in zip(
+        A.blocks, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        jco = li_c.global_to_own(li_r.own_to_global)
+        rows = np.flatnonzero(jco >= 0)
+        D = sp.csr_matrix(
+            (np.ones(rows.size, dtype=A.dtype), (rows, jco[rows])),
+            shape=b["oo"].shape,
+        )
+        blocks.append({"oo": (D - b["oo"]).tocsr(), "oh": (-b["oh"]).tocsr()})
+    return PSparseMatrix(
+        blocks, A.row_prange, A.col_prange, A.backend, True
+    )
 
 
 def repartition_matrix(
     A: PSparseMatrix, new_rows, new_cols, backend: Optional[Backend] = None
 ) -> PSparseMatrix:
-    """Parity: repartition (src/p_sparse_matrix.jl:2371-2461)."""
-    G = to_global_scipy(A)
-    return psparse_from_global(G, as_prange(new_rows), as_prange(new_cols), backend or A.backend)
+    """Parity: repartition (src/p_sparse_matrix.jl:2371-2461).  Distributed:
+    per-part triplets are shuffled to their new row owners by the
+    disassembled-COO constructor."""
+    I_parts, J_parts, V_parts = [], [], []
+    for b, li_r, li_c in zip(
+        A.blocks, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        names = ("oo", "oh") if A.assembled else ("oo", "oh", "ho", "hh")
+        I, J, V = _part_triplets(b, li_r, li_c, names)
+        I_parts.append(I)
+        J_parts.append(J)
+        V_parts.append(V)
+    return psparse(
+        I_parts, J_parts, V_parts, as_prange(new_rows), as_prange(new_cols),
+        backend or A.backend, assembled=False, assemble=True, dtype=A.dtype,
+    )
 
 
 def split_format(A: PSparseMatrix) -> PSparseMatrix:
@@ -933,27 +1286,17 @@ split_matrix = split_format  # parity alias
 
 def renumber_matrix(A: PSparseMatrix) -> PSparseMatrix:
     """Same matrix on the renumbered (contiguous-own) partitions
-    (parity: renumber, src/p_sparse_matrix.jl:2595-2622)."""
+    (parity: renumber, src/p_sparse_matrix.jl:2595-2622).
+
+    ``renumber_partition`` preserves the own and ghost orders within every
+    part, so the split blocks carry over UNCHANGED — only the global
+    labels in the partitions are rewritten (no data movement at all)."""
     from .parallel.p_range import renumber_partition
 
     new_rows = PRange(renumber_partition(A.row_prange.partition()))
-    new_cols = PRange(renumber_partition(
-        [li.remove_ghost() for li in A.col_prange.partition()]
-    ))
-    # remap the global triplets through the renumbering
-    old_rows = A.row_prange.partition()
-    row_map = np.empty(A.shape[0], dtype=INT)
-    for li_old, li_new in zip(old_rows, new_rows.partition()):
-        row_map[li_old.own_to_global] = li_new.own_to_global
-    old_cols = A.col_prange.partition()
-    col_map = np.empty(A.shape[1], dtype=INT)
-    for li_old, li_new in zip(old_cols, new_cols.partition()):
-        col_map[li_old.own_to_global] = li_new.own_to_global
-    G = to_global_scipy(A).tocoo()
-    G2 = sp.coo_matrix(
-        (G.data, (row_map[G.row], col_map[G.col])), shape=A.shape
-    ).tocsr()
-    return psparse_from_global(G2, new_rows, new_cols, A.backend)
+    new_cols = PRange(renumber_partition(A.col_prange.partition()))
+    blocks = [dict(b) for b in A.blocks]
+    return PSparseMatrix(blocks, new_rows, new_cols, A.backend, A.assembled)
 
 
 def psystem(

@@ -7,11 +7,13 @@ Capability parity with PartitionedSolvers/src/amg.jl: Vanek aggregation
 coarse-level size control (:523-542), hierarchy setup / V- and W-cycles /
 statistics (:757-942), default nullspace (:2-11).
 
-TPU-native split: ALL coarsening runs on host at setup (numpy/scipy over
-the per-part blocks, global-view products via psparse's host algebra); the
+TPU-native split: ALL coarsening runs on host at setup, DISTRIBUTED over
+the per-part blocks (per-part aggregation, blockwise S = I - omega D^-1 A,
+the distributed spmm/spmtm Galerkin product, a neighbor-exchange power
+method — no global matrix is materialized anywhere in the setup); the
 cycle is device-resident and jittable — smoothing via the colored-DIA /
 multicolor GS, restriction/prolongation via the frozen transpose/forward
-SpMV of P, and the coarsest solve as a replicated dense inverse applied
+SpMV of P, and the coarsest solve as replicated dense LU factors applied
 after an ``all_gather`` of the coarse residual (the analogue of the
 reference's repartition-to-main LU, src/p_sparse_matrix.jl:2561-2593,
 without leaving the device).
@@ -31,11 +33,11 @@ from ..parallel.p_range import PRange, variable_partition
 from ..psparse import (
     PSparseMatrix,
     psparse,
-    rap,
+    spmm,
+    spmtm,
     spmv,
     spmtv,
     to_global_scipy,
-    transpose_psparse,
 )
 from ..pvector import PVector, pdot, pnorm
 from .smoothers import GaussSeidel, _register_identity_pytree
@@ -297,20 +299,63 @@ def tentative_prolongator(
     return P0, coarse_ns, coarse_dofs
 
 
-def spectral_radius(A: PSparseMatrix, Dinv: sp.spmatrix, iters: int = 20) -> float:
-    """Power-method estimate of rho(D^-1 A) on host
-    (parity: spectral_radius, amg.jl:508-521)."""
-    G = Dinv @ to_global_scipy(A)
+def _diag_parts(A: PSparseMatrix) -> List[np.ndarray]:
+    """Per-part diagonal of the own_own block matched by GLOBAL ids (robust
+    to row/col partitions whose own orders differ)."""
+    out = []
+    for b, li_r, li_c in zip(
+        A.blocks, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        d = np.zeros(li_r.n_own, dtype=A.dtype)
+        coo = b["oo"].tocoo()
+        m = li_c.own_to_global[coo.col] == li_r.own_to_global[coo.row]
+        d[coo.row[m]] = coo.data[m]
+        out.append(d)
+    return out
+
+
+def _dinv_parts(A: PSparseMatrix) -> List[np.ndarray]:
+    return [
+        np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+        for d in _diag_parts(A)
+    ]
+
+
+def spectral_radius(A: PSparseMatrix, Dinv=None, iters: int = 20) -> float:
+    """Power-method estimate of rho(D^-1 A)
+    (parity: spectral_radius, amg.jl:508-521).
+
+    Distributed setup-tier implementation: per-part SpMV on the split
+    blocks with a host halo exchange per iteration (primitives.host_
+    consistent) — no global matrix or vector is built.  ``Dinv`` may be a
+    per-part list of inverse-diagonal arrays or a global scipy diagonal
+    (API compatibility); None derives it from A."""
+    from ..parallel.primitives import host_consistent
+
+    parts = A.row_prange.partition()
+    if Dinv is None:
+        dinv = _dinv_parts(A)
+    elif isinstance(Dinv, (list, tuple)):
+        dinv = [np.asarray(d) for d in Dinv]
+    else:
+        dg = np.asarray(Dinv.diagonal())
+        dinv = [dg[li.own_to_global] for li in parts]
     rng = np.random.default_rng(0)
-    x = rng.standard_normal(G.shape[0])
+    x = [rng.standard_normal(li.n_own) for li in parts]
+    cols = A.col_prange
     lam = 1.0
     for _ in range(iters):
-        y = G @ x
-        ny = np.linalg.norm(y)
+        xg = host_consistent(cols, x)
+        y = [
+            dv * (b["oo"] @ xo + (b["oh"] @ g if g.size else 0.0))
+            for b, xo, g, dv in zip(A.blocks, x, xg, dinv)
+        ]
+        ny = np.sqrt(sum(float(v @ v) for v in y))
+        nx = np.sqrt(sum(float(v @ v) for v in x))
         if ny == 0:
             return 1.0
-        lam = ny / np.linalg.norm(x) if np.linalg.norm(x) else 1.0
-        x = y / ny
+        lam = ny / nx if nx else 1.0
+        x = [v / ny for v in y]
     return float(abs(lam))
 
 
@@ -321,20 +366,36 @@ def smoothed_prolongator(
     return_omega: bool = False,
 ):
     """P = (I - omega D^-1 A) P0 (parity: smoothed_prolongator,
-    amg.jl:474-481; omega default 4/(3 rho), amg.jl:483-521)."""
-    G = to_global_scipy(A)
-    d = G.diagonal()
-    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
-    Dinv = sp.diags(dinv)
-    if omega is None:
-        rho = spectral_radius(A, Dinv)
-        omega = 4.0 / (3.0 * max(rho, 1e-12))
-    S = sp.identity(G.shape[0], dtype=G.dtype, format="csr") - omega * (Dinv @ G)
-    GP = S @ to_global_scipy(P0)
-    from ..psparse import psparse_from_global
+    amg.jl:474-481; omega default 4/(3 rho), amg.jl:483-521).
 
-    cols = PRange([li.remove_ghost() for li in P0.col_prange.partition()])
-    P = psparse_from_global(GP.tocsr(), P0.row_prange, cols, A.backend)
+    Distributed: S = I - omega D^-1 A is formed BLOCKWISE (row scaling of
+    the split blocks + the own_own identity), then P = spmm(S, P0) runs the
+    distributed sparse product — no global matrix."""
+    from ..psparse import spmm
+
+    dinv = _dinv_parts(A)
+    if omega is None:
+        rho = spectral_radius(A, dinv)
+        omega = 4.0 / (3.0 * max(rho, 1e-12))
+    s_blocks = []
+    for b, dv, li_r, li_c in zip(
+        A.blocks, dinv, A.row_prange.partition(), A.col_prange.partition()
+    ):
+        scale = sp.diags(omega * dv)
+        jco = li_c.global_to_own(li_r.own_to_global)
+        rows = np.flatnonzero(jco >= 0)
+        D = sp.csr_matrix(
+            (np.ones(rows.size, dtype=A.dtype), (rows, jco[rows])),
+            shape=b["oo"].shape,
+        )
+        s_blocks.append(
+            {
+                "oo": (D - scale @ b["oo"]).tocsr(),
+                "oh": (-(scale @ b["oh"])).tocsr(),
+            }
+        )
+    S = PSparseMatrix(s_blocks, A.row_prange, A.col_prange, A.backend, True)
+    P = spmm(S, P0)
     return (P, float(omega)) if return_omega else P
 
 
@@ -416,8 +477,9 @@ class AMGPreconditioner:
             P, omega_used = smoothed_prolongator(
                 current, P0, params.omega, return_omega=True
             )
-            R = transpose_psparse(P)
-            Ac = rap(R, current, P)
+            # Galerkin product P^T A P via the distributed spmtm/spmm (no
+            # explicit transpose: the cycle restricts with spmtv(P))
+            Ac = spmtm(P, spmm(current, P))
             struct = None
             if struct_shapes is not None:
                 lay = current.row_layout()
@@ -453,10 +515,23 @@ class AMGPreconditioner:
                 current = Ac
                 break
             current = Ac
-        # coarsest: replicated dense inverse
+        # coarsest: gathered LU factors, replicated on device (the analogue
+        # of the reference's repartition-to-main sparse LU, amg.jl:523-542 +
+        # wrappers.jl:2-16; dense triangular solves because the coarse space
+        # is small by construction).  Falls back to a pseudo-inverse only
+        # when the coarse operator is numerically singular.
+        import scipy.linalg as sla
+
         self.levels.append(AMGLevel(current, None, None))
         G = to_global_scipy(current).toarray()
-        self.coarse_inv = jnp.asarray(np.linalg.pinv(G))
+        lu, piv = sla.lu_factor(G, check_finite=False)
+        du = np.abs(np.diag(lu))
+        if du.size and du.min() > 1e-12 * max(du.max(), 1.0):
+            self.coarse_lu = (jnp.asarray(lu), jnp.asarray(piv.astype(np.int32)))
+            self.coarse_inv = None
+        else:
+            self.coarse_lu = None
+            self.coarse_inv = jnp.asarray(np.linalg.pinv(G))
         self.backend = A.backend
         clay = current.row_layout()
         g2g = np.full(
@@ -481,16 +556,25 @@ class AMGPreconditioner:
         lay = b.layout
         n = lay.pr.n_global
         g2g_dev = self.coarse_gids
-        Vinv = self.coarse_inv.astype(b.own.dtype)
+        if self.coarse_lu is not None:
+            lu, piv = self.coarse_lu
+            solver = ("lu", lu.astype(b.own.dtype), piv)
+        else:
+            solver = ("inv", self.coarse_inv.astype(b.own.dtype), None)
 
-        def make_f(n=n, Vinv=Vinv):
+        def make_f(n=n, solver=solver):
+            kind, M, piv = solver
+
             def f(bo, gids):
                 full = jax.lax.all_gather(bo, AXIS)  # [P, n_own_pad]
                 allg = jax.lax.all_gather(gids, AXIS)
                 flat = jnp.zeros((n,), full.dtype).at[allg.reshape(-1)].set(
                     full.reshape(-1), mode="drop"
                 )
-                z = Vinv @ flat
+                if kind == "lu":
+                    z = jax.scipy.linalg.lu_solve((M, piv), flat)
+                else:
+                    z = M @ flat
                 return jnp.take(z, gids, mode="fill", fill_value=0)
 
             return f
@@ -799,5 +883,5 @@ def default_nullspace(A: PSparseMatrix) -> List[List[np.ndarray]]:
     return [[np.ones(li.n_own)] for li in A.row_prange.partition()]
 
 
-_register_identity_pytree(AMGPreconditioner, ("levels", "coarse_inv", "coarse_gids"))
+_register_identity_pytree(AMGPreconditioner, ("levels", "coarse_inv", "coarse_lu", "coarse_gids"))
 _register_identity_pytree(AMGLevel, ("A", "P", "smoother"))

@@ -44,12 +44,37 @@ def cg(
 
     # Compile the whole solve (while_loop over the iteration) unless we are
     # already inside a trace; eager per-iteration dispatch would dominate.
+    # A (and a pytree-registered preconditioner) are passed as jit ARGUMENTS:
+    # their leaves are device arrays — baking them in as constants would
+    # bloat the compile payload and is illegal for multi-process (globally
+    # sharded) arrays.
     if not isinstance(b.own, jax.core.Tracer):
+        if M is None or _all_array_leaves(M):
+            run = jax.jit(
+                lambda A, M, b, x0: _cg_loop(
+                    A, b, x0, (M if M is not None else (lambda r: r)),
+                    rtol, atol, maxiter,
+                )
+            )
+            return run(A, M, b, x0)
         run = jax.jit(
-            lambda b, x0: _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
+            lambda A, b, x0: _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
         )
-        return run(b, x0)
+        return run(A, b, x0)
     return _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
+
+
+def _all_array_leaves(obj) -> bool:
+    """True when ``obj`` flattens into array(-like) leaves only — i.e. it is
+    a registered pytree (smoothers/AMG register themselves) safe to pass as
+    a jit argument."""
+    import numpy as np
+
+    return all(
+        isinstance(l, (jax.Array, np.ndarray, int, float, complex))
+        or hasattr(l, "shape")
+        for l in jax.tree_util.tree_leaves(obj)
+    )
 
 
 def _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter):

@@ -1,0 +1,94 @@
+"""Multi-process driver: run by tests/test_utils.py::test_multihost_* in
+N separate OS processes (the analogue of the reference's
+test/mpi_array/run_mpi_driver.jl: mpiexec -n 4 ... drivers/<file>.jl).
+
+Each process owns a subset of the global CPU devices; the SPMD setup runs
+identically on every process, device arrays are materialized per process
+only for addressable shards (MeshBackend.shard), and the solve's halo
+exchanges/psums are REAL cross-process collectives (gloo).
+
+Usage: multihost_driver.py <process_id> <num_processes> <port> [fail]
+Env (set by the test): JAX_PLATFORMS=cpu, JAX_NUM_CPU_DEVICES=<k>,
+JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo, PALLAS_AXON_POOL_IPS= (so the
+sandbox TPU hook cannot initialize a backend before jax.distributed).
+"""
+import sys
+
+import numpy as np
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    inject_failure = len(sys.argv) > 4 and sys.argv[4] == "fail"
+
+    from partitionedarrays_tpu.backends import with_multihost
+
+    backend = with_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    import jax
+
+    assert jax.process_count() == nproc, "distributed init did not span processes"
+    P = backend.n_parts
+    assert backend.is_multiprocess
+    local = backend.local_parts()
+    assert local, "process owns no parts"
+
+    if inject_failure and pid == 1:
+        # exception path: the distributed runtime must propagate the
+        # failure so no peer process hangs (parity: with_mpi -> MPI.Abort,
+        # src/mpi_array.jl:64-83, test/mpi_array/exception_tests.jl)
+        raise RuntimeError("injected failure on rank 1")
+
+    # --- HPCG problem across all processes (stencil closed form)
+    from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
+    from partitionedarrays_tpu.solvers.krylov import cg
+    from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
+
+    n = 6  # local box 6x6x6 per part
+    parts = (1, 1, P)
+    A, b = build_hpcg_problem((n, n, n), parts, backend, dtype=np.float64)
+    M = GaussSeidel(A, 1, "symmetric")
+    x, info = cg(A, b, M=M, rtol=1e-8, maxiter=200)
+
+    # every process checks ITS OWN shards against the global scipy solve
+    # (setup metadata is replicated, so the reference solution is available
+    # everywhere; only device values are per-process)
+    import scipy.sparse.linalg as spla
+
+    from partitionedarrays_tpu.psparse import to_global_scipy
+
+    G = to_global_scipy(A)
+    # the global rhs in closed form (b = 26 - number of off-diagonal legs,
+    # HPCG/src/sparse_matrix.jl:27-80) — b itself is only locally known
+    bg_full = 26.0 - (G.getnnz(axis=1) - 1)
+    xg = spla.spsolve(G.tocsc(), bg_full)
+
+    ok = True
+    for sh in b.own.addressable_shards:
+        p = sh.index[0].start
+        li = A.row_prange.partition()[p]
+        got = np.asarray(sh.data)[0, : li.n_own]
+        assert np.array_equal(got, bg_full[li.own_to_global]), "rhs shard mismatch"
+    for sh in x.own.addressable_shards:
+        p = sh.index[0].start
+        li = A.row_prange.partition()[p]
+        got = np.asarray(sh.data)[0, : li.n_own]
+        exp = xg[li.own_to_global]
+        err = np.abs(got - exp).max()
+        if err > 1e-6 * max(1.0, np.abs(exp).max()):
+            print(f"pid={pid} part={p} MISMATCH err={err}", flush=True)
+            ok = False
+    iters = int(np.asarray(jax.device_get(info.iterations)))
+    assert iters < 200, "CG did not converge"
+    if not ok:
+        raise SystemExit(2)
+    print(f"pid={pid} MULTIHOST OK parts={local} iters={iters}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

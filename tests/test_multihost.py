@@ -1,0 +1,82 @@
+"""REAL multi-process tests (the analogue of the reference's MPI tier,
+test/mpi_array/run_mpi_driver.jl): N separate OS processes, each owning a
+subset of the global CPU device mesh, joined by ``jax.distributed`` with
+gloo collectives.  Success = all subprocesses exit 0 (run_mpi_driver.jl:
+11-13); the failure test asserts an injected exception propagates as a
+nonzero exit on every rank (exception_tests.jl semantics)."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+DRIVER = os.path.join(os.path.dirname(__file__), "multihost_driver.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(nproc: int, devices_per_proc: int, extra_args=()):
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",  # keep the sandbox TPU hook from
+        # initializing a backend before jax.distributed
+        JAX_PLATFORMS="cpu",
+        JAX_NUM_CPU_DEVICES=str(devices_per_proc),
+        JAX_CPU_COLLECTIVES_IMPLEMENTATION="gloo",
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, DRIVER, str(pid), str(nproc), str(port), *extra_args],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs, codes = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out += "\n<TIMEOUT>"
+        outs.append(out)
+        codes.append(p.returncode)
+    return codes, outs
+
+
+def test_multihost_two_process_cg():
+    """2 processes x 2 CPU devices = 4-part mesh; HPCG 27-pt problem built
+    per-process (each materializes only its shards), GS-preconditioned CG
+    with real cross-process halo exchanges; every rank validates its own
+    shards against the global scipy solve."""
+    codes, outs = _launch(2, 2)
+    for c, o in zip(codes, outs):
+        assert c == 0, f"rank failed:\n{o[-2000:]}"
+    assert all("MULTIHOST OK" in o for o in outs)
+
+
+def test_multihost_failure_propagates():
+    """An exception on one rank must take down every rank with a nonzero
+    exit — no zombie processes (parity: with_mpi -> MPI.Abort,
+    src/mpi_array.jl:64-83; test/mpi_array/exception_tests.jl)."""
+    codes, outs = _launch(2, 2, extra_args=("fail",))
+    assert codes[1] != 0, "failing rank must exit nonzero"
+    assert codes[0] != 0, (
+        "healthy rank must be torn down by the distributed runtime:\n"
+        + outs[0][-2000:]
+    )
+    assert not any("<TIMEOUT>" in o for o in outs), "a rank hung"

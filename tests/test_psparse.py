@@ -330,3 +330,76 @@ def test_psparse_local_indices(backend4):
     assert abs(to_global_scipy(A) - global_laplacian(n)).max() < 1e-14
     with pytest.raises(ValueError):
         psparse(Is, Js, Vs, pr_own, pr_gh, backend4, indices="bogus")
+
+
+def test_device_refill_matches_host(backend4):
+    """Device-resident refill at fixed sparsity (parity: psparse!,
+    src/p_sparse_matrix.jl:1291-1305): the compiled scatter into the
+    FROZEN block layout must equal host psparse_refill + re-freeze."""
+    from partitionedarrays_tpu.psparse import (
+        device_refill_plan,
+        psparse_refill,
+    )
+    from partitionedarrays_tpu.pvector import pvector_from_own, collect
+
+    n = 16
+    pr = PRange(uniform_partition(4, n))
+    # disassembled input with off-owner rows + a duplicate contribution
+    Is, Js, Vs = [], [], []
+    for li in pr.partition():
+        I, J, V = [], [], []
+        for g in li.own_to_global:
+            I.append(g); J.append(g); V.append(2.0)
+            if g > 0:
+                I.append(g - 1); J.append(g), V.append(-1.0)  # off-owner row
+            if g < n - 1:
+                I.append(g); J.append(g + 1); V.append(-1.0)
+        Is.append(np.array(I)); Js.append(np.array(J))
+        Vs.append(np.array(V, dtype=np.float64))
+    A, cache = psparse(Is, Js, Vs, pr, pr, backend4, reuse=True)
+    plan = device_refill_plan(A, cache)
+    rng = np.random.default_rng(7)
+    V2 = [rng.standard_normal(v.shape) for v in Vs]
+    dev2 = plan(plan.stack_values(V2))
+    # ground truth: host refill + re-freeze
+    psparse_refill(A, V2, cache)
+    devh = A.device()
+    for name in ("oo", "oh"):
+        got = getattr(dev2, name)
+        exp = getattr(devh, name)
+        assert got.kind == exp.kind
+        assert np.allclose(np.asarray(got.vals), np.asarray(exp.vals))
+    # and the refilled SpMV matches scipy with the new values
+    xg = rng.standard_normal(n)
+    xparts = [xg[li.own_to_global] for li in A.col_prange.partition()]
+    x = pvector_from_own(xparts, A.col_prange, backend4, dtype=np.float64)
+    y = spmv(A, x, dev=dev2)
+    assert np.allclose(collect(y), to_global_scipy(A) @ xg)
+
+
+def test_setup_algebra_never_materializes_global(backend4, monkeypatch):
+    """The distributed setup algebra (assemble/consistent/spmm/spmtm/rap/
+    transpose/repartition) must not call to_global_scipy (VERDICT r1 #1)."""
+    import sys
+
+    psp = sys.modules["partitionedarrays_tpu.psparse"]
+    from partitionedarrays_tpu.psparse import consistent_matrix
+
+    def boom(A):
+        raise AssertionError("to_global_scipy called in distributed path")
+
+    n = 24
+    pr = PRange(uniform_partition(4, n))
+    Is, Js, Vs = laplacian_coo_parts(pr, n)
+    A = psparse(Is, Js, Vs, pr, pr, backend4, assembled=True)
+    B = psparse(Is, Js, Vs, pr, pr, backend4, assemble=False)
+    monkeypatch.setattr(psp, "to_global_scipy", boom)
+    assemble_matrix(B).wait()
+    consistent_matrix(A, A.col_prange).wait()
+    C = spmm(A, A)
+    Ct = spmtm(A, A)
+    T = transpose_psparse(A)
+    pr2 = PRange(variable_partition([n // 2, n // 2, 0, 0], n))
+    repartition_matrix(A, pr2, pr2)
+    identity_minus(A)
+    rap(T, A, A)
