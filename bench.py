@@ -184,6 +184,76 @@ def amg_cycle_bench():
     return dt, t_setup, int(info.iterations)
 
 
+def ell_bench():
+    """Generic (gather-path ELL) SpMV + colored-GS sweep on an UNSTRUCTURED
+    operator: 3-D Q1 FEM linear elasticity (what FEM/AMG-Galerkin levels
+    use when the box/DIA fast path bails) — VERDICT r1 #5."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.gallery import linear_elasticity_fem
+    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.pvector import PVector, pones
+    from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    I, J, V, rows, cols = linear_elasticity_fem(
+        (40, 40, 40), (1, 1, 1), dtype=np.float32
+    )
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend)
+    dev = A.device()
+    kind = dev.oo.kind
+    nnz = A.nnz()
+    nrows = A.shape[0]
+    rlay = A.row_layout()
+    x = pones(A.col_prange, backend, dtype=jnp.float32)
+
+    def make_loop(k):
+        @jax.jit
+        def run(A, own):
+            def body(i, own):
+                xv = PVector(
+                    own,
+                    jnp.zeros((1, A.col_layout().n_ghost_pad), jnp.float32),
+                    A.col_layout(),
+                    backend,
+                )
+                y = spmv(A, xv)
+                return y.own * 1e-2
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt = slope_time_per_iter(make_loop, (A, x.own), k_small=4, k_big=20)
+    bytes_moved = dev.nbytes() + nrows * 8
+    gbs = bytes_moved / dt / 1e9
+
+    # colored-GS symmetric sweep (the smoother FEM/AMG levels run)
+    gs = GaussSeidel(A, iterations=1, sweep="symmetric")
+    b = pones(A.row_prange, backend, dtype=jnp.float32)
+
+    def make_gs(k):
+        @jax.jit
+        def run(gs, own):
+            def body(i, own):
+                r = PVector(
+                    own, jnp.zeros((1, rlay.n_ghost_pad), jnp.float32), rlay, backend
+                )
+                return gs(r).own * 0.5
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt_gs = slope_time_per_iter(make_gs, (gs, b.own), k_small=4, k_big=20)
+    return gbs, dt, dt_gs, nrows, nnz, kind
+
+
 def hpcg_rating():
     from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
 
@@ -226,6 +296,18 @@ def main():
         amg_ms, amg_setup_s = round(amg_dt * 1e3, 3), round(amg_setup, 1)
     except Exception:
         amg_ms = amg_setup_s = amg_iters = None
+    try:
+        ell_gbs, ell_dt, ell_gs_dt, ell_rows, ell_nnz, ell_kind = ell_bench()
+        ell = {
+            "ell_spmv_gbs": round(ell_gbs, 2),
+            "ell_spmv_ms": round(ell_dt * 1e3, 3),
+            "ell_gs_sweep_ms": round(ell_gs_dt * 1e3, 3),
+            "ell_rows": ell_rows,
+            "ell_nnz": ell_nnz,
+            "ell_kind": ell_kind,
+        }
+    except Exception:
+        ell = {"ell_spmv_gbs": None}
     result = {
         "metric": "hpcg27_spmv_bandwidth",
         "value": round(gbs, 2),
@@ -245,6 +327,7 @@ def main():
             "amg64_vcycle_ms": amg_ms,
             "amg64_setup_s": amg_setup_s,
             "amg64_cg_iters_1e8": amg_iters,
+            **ell,
         },
     }
     print(json.dumps(result))
