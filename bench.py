@@ -185,16 +185,22 @@ def amg_cycle_bench():
 
 
 def ell_bench():
-    """Generic (gather-path ELL) SpMV + colored-GS sweep on an UNSTRUCTURED
-    operator: 3-D Q1 FEM linear elasticity (what FEM/AMG-Galerkin levels
-    use when the box/DIA fast path bails) — VERDICT r1 #5."""
+    """Generic-operator SpMV + colored-GS sweep on 3-D Q1 FEM linear
+    elasticity (what FEM/AMG-Galerkin levels run) — VERDICT r1 #5.
+
+    Two numbers: the DEFAULT freeze (the 81-offset elasticity band rides
+    the widened DIA/Pallas stream path), and a FORCED-ELL freeze of the
+    same operator at a smaller size — the honest cost of the gather path
+    that genuinely unstructured (non-banded) matrices would pay (TPU has
+    no hardware gather; XLA lowers x[cols] row-at-a-time)."""
     import jax
     import jax.numpy as jnp
 
     from partitionedarrays_tpu import PRange, psparse
     from partitionedarrays_tpu.backends import MeshBackend
     from partitionedarrays_tpu.models.gallery import linear_elasticity_fem
-    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.ops.blocks import freeze_block
+    from partitionedarrays_tpu.psparse import DeviceSpMat, spmv
     from partitionedarrays_tpu.pvector import PVector, pones
     from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
 
@@ -228,7 +234,9 @@ def ell_bench():
 
         return run
 
-    dt = slope_time_per_iter(make_loop, (A, x.own), k_small=4, k_big=20)
+    # long chains: at ~0.1 ms per SpMV the difference must dwarf tunnel
+    # latency jitter (short chains measured an impossible 3.9 TB/s once)
+    dt = slope_time_per_iter(make_loop, (A, x.own), k_small=16, k_big=144)
     bytes_moved = dev.nbytes() + nrows * 8
     gbs = bytes_moved / dt / 1e9
 
@@ -250,8 +258,46 @@ def ell_bench():
 
         return run
 
-    dt_gs = slope_time_per_iter(make_gs, (gs, b.own), k_small=4, k_big=20)
-    return gbs, dt, dt_gs, nrows, nnz, kind
+    dt_gs = slope_time_per_iter(make_gs, (gs, b.own), k_small=8, k_big=72)
+
+    # forced-ELL gather path (smaller operator: the gather compile alone
+    # is ~7 s at this size and minutes at 40^3)
+    I2, J2, V2, rows2, cols2 = linear_elasticity_fem(
+        (20, 20, 20), (1, 1, 1), dtype=np.float32
+    )
+    A2 = psparse(I2, J2, V2, PRange(rows2), PRange(cols2), backend)
+    rlay2 = A2.row_layout()
+    clay2 = A2.col_layout()
+    dev2 = DeviceSpMat(
+        freeze_block([b["oo"] for b in A2.blocks], rlay2.n_own_pad,
+                     clay2.n_own_pad, prefer_dia=False),
+        freeze_block([b["oh"] for b in A2.blocks], rlay2.n_own_pad,
+                     max(clay2.n_ghost_pad, 1), prefer_dia=False),
+    )
+    dev2 = backend.shard(dev2)
+    x2 = pones(A2.col_prange, backend, dtype=jnp.float32)
+
+    def make_ell(k):
+        @jax.jit
+        def run(dev2, own):
+            def body(i, own):
+                xv = PVector(
+                    own,
+                    jnp.zeros((1, clay2.n_ghost_pad), jnp.float32),
+                    clay2,
+                    backend,
+                )
+                y = spmv(A2, xv, dev=dev2)
+                return y.own * 1e-2
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt_ell = slope_time_per_iter(make_ell, (dev2, x2.own), k_small=2, k_big=8)
+    ell_gbs = (dev2.nbytes() + A2.shape[0] * 8) / dt_ell / 1e9
+    return gbs, dt, dt_gs, nrows, nnz, kind, ell_gbs, dt_ell, A2.shape[0]
 
 
 def hpcg_rating():
@@ -297,17 +343,23 @@ def main():
     except Exception:
         amg_ms = amg_setup_s = amg_iters = None
     try:
-        ell_gbs, ell_dt, ell_gs_dt, ell_rows, ell_nnz, ell_kind = ell_bench()
+        (
+            el_gbs, el_dt, el_gs_dt, el_rows, el_nnz, el_kind,
+            ellf_gbs, ellf_dt, ellf_rows,
+        ) = ell_bench()
         ell = {
-            "ell_spmv_gbs": round(ell_gbs, 2),
-            "ell_spmv_ms": round(ell_dt * 1e3, 3),
-            "ell_gs_sweep_ms": round(ell_gs_dt * 1e3, 3),
-            "ell_rows": ell_rows,
-            "ell_nnz": ell_nnz,
-            "ell_kind": ell_kind,
+            "elast_spmv_gbs": round(el_gbs, 2),
+            "elast_spmv_ms": round(el_dt * 1e3, 3),
+            "elast_gs_sweep_ms": round(el_gs_dt * 1e3, 3),
+            "elast_rows": el_rows,
+            "elast_nnz": el_nnz,
+            "elast_kind": el_kind,
+            "ell_forced_spmv_gbs": round(ellf_gbs, 2),
+            "ell_forced_spmv_ms": round(ellf_dt * 1e3, 3),
+            "ell_forced_rows": ellf_rows,
         }
-    except Exception:
-        ell = {"ell_spmv_gbs": None}
+    except Exception as e:
+        ell = {"elast_spmv_gbs": None, "elast_error": repr(e)[:200]}
     result = {
         "metric": "hpcg27_spmv_bandwidth",
         "value": round(gbs, 2),

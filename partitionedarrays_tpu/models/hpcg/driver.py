@@ -116,31 +116,32 @@ def hpcg_benchmark(
     # whole window.  This keeps the remote-dispatch fixed latency out of
     # the measured per-set time, like the reference's use of long
     # `total_runtime` windows (HPCG/src/hpcg_benchmark.jl:81-88).
-    def chained_sets(k):
-        @jax.jit
-        def run(A, mg, b):
-            def body(i, carry):
-                scale, _ = carry
-                bs = PVector(
-                    b.own * scale, b.ghost * scale, b.layout, b.backend
-                )
-                x, norms = run_cg(A, mg, bs)
-                new_scale = 1.0 + norms[-1] / norms[0] * 1e-12
-                return (new_scale, norms / scale)
-
-            one = jnp.ones((), b.own.dtype)
-            _, norms = jax.lax.fori_loop(
-                0, k, body, (one, jnp.zeros((iterations + 1,), b.own.dtype))
+    # the chain length k is a RUNTIME argument (fori_loop lowers to a
+    # while_loop), so every chain length — including the big executed
+    # window below — shares ONE compiled executable; no chain length can
+    # leak a recompile into its timed region.
+    @jax.jit
+    def run_chain(A, mg, b, k):
+        def body(i, carry):
+            scale, _ = carry
+            bs = PVector(
+                b.own * scale, b.ghost * scale, b.layout, b.backend
             )
-            return norms
+            x, norms = run_cg(A, mg, bs)
+            new_scale = 1.0 + norms[-1] / norms[0] * 1e-12
+            return (new_scale, norms / scale)
 
-        return run
+        one = jnp.ones((), b.own.dtype)
+        _, norms = jax.lax.fori_loop(
+            0, k, body, (one, jnp.zeros((iterations + 1,), b.own.dtype))
+        )
+        return norms
 
     n_sets = timed_sets
-    run1 = chained_sets(1)
-    runN = chained_sets(1 + n_sets)
-    np.asarray(run1(A, mg, b))  # compile
-    np.asarray(runN(A, mg, b))  # compile
+    run1 = lambda A, mg, b: run_chain(A, mg, b, jnp.int32(1))  # noqa: E731
+    runN = lambda A, mg, b: run_chain(A, mg, b, jnp.int32(1 + n_sets))  # noqa: E731
+    np.asarray(run1(A, mg, b))  # compile (shared by every chain length)
+    np.asarray(runN(A, mg, b))  # warm
 
     def timed(f):
         t0 = time.perf_counter()
@@ -174,10 +175,13 @@ def hpcg_benchmark(
         # extrapolation.
         per_set = time_solve / n_sets
         n_sets = max(int(np.ceil(total_runtime / per_set)), timed_sets)
-        runW = chained_sets(n_sets)
-        runW.lower(A, mg, b).compile()  # AOT compile: keep it out of the timing
+        # the window reuses the SAME compiled executable (k is a runtime
+        # scalar), so this is a clean fully-executed window with zero
+        # compile time inside the timed region.  (The previous AOT
+        # ``lower().compile()`` did not populate the jit cache and the
+        # timed call recompiled — measured: rated GF/s collapsed 3x.)
         t0w = time.perf_counter()
-        normsW = np.asarray(runW(A, mg, b))
+        normsW = np.asarray(run_chain(A, mg, b, jnp.int32(n_sets)))
         time_solve = time.perf_counter() - t0w
         assert np.allclose(norms1, normsW, rtol=1e-4)
         window = "executed"

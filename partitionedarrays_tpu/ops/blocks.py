@@ -61,16 +61,17 @@ class DeviceBlock:
             )
 
             R = self.vals.shape[-1]
-            if (
-                self.vflat is not None
-                and config.pallas_enabled()
-                and dia_spmv_pallas_viable(
-                    self.offsets, R, self.n_cols_pad, self.vals.dtype.itemsize
-                )
-            ):
-                return dia_spmv_pallas_flat(
-                    self.offsets, self.vflat, x, self.n_cols_pad, R=R, T=self.T
-                )
+            if self.vflat is not None and config.pallas_enabled():
+                # Rq = the flat copy's padded row count (1024-granular)
+                Rq = self.vflat.shape[-1] // len(self.offsets)
+                if dia_spmv_pallas_viable(
+                    self.offsets, Rq, self.n_cols_pad, self.vals.dtype.itemsize
+                ):
+                    y = dia_spmv_pallas_flat(
+                        self.offsets, self.vflat, x, self.n_cols_pad,
+                        R=Rq, T=self.T,
+                    )
+                    return y if Rq == R else y[:R]
             return dia_spmv(self.offsets, self.vals, x, self.n_cols_pad)
         return ell_spmv(self.cols, self.vals, x)
 
@@ -100,30 +101,43 @@ class DeviceBlock:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def _dia_flat_layout(v, T: int):
+@functools.partial(jax.jit, static_argnames=("T", "Rq"))
+def _dia_flat_layout(v, T: int, Rq: int):
     P, n_off, R = v.shape
-    nseg = R // T
+    if Rq != R:
+        # pad rows up to the kernel tile granularity with PROVABLY ZERO
+        # diagonal values — the kernel's extra output rows are sliced off
+        # in DeviceBlock.spmv
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Rq - R)))
+    nseg = Rq // T
     return v.reshape(P, n_off, nseg, T).transpose(0, 2, 1, 3).reshape(P, -1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if x > 0 else 0
 
 
 def make_dia_block(offsets, n_cols_pad: int, vals) -> DeviceBlock:
     """DIA DeviceBlock from device-resident logical values [P, n_off, R],
     attaching the segment-major flat copy when the Pallas path is viable
-    (built ON DEVICE — one relayout at freeze, no extra H2D)."""
+    (built ON DEVICE — one relayout at freeze, no extra H2D).  The flat
+    copy's row count Rq is padded up to the 1024-granular kernel tile: the
+    layout-wide n_own_pad is only 512-granular (e.g. FEM elasticity at
+    192000 rows), and no power-of-two tile divides that."""
     from .. import config
     from .spmv_pallas import _pick_tile, dia_spmv_pallas_viable
 
     offsets = tuple(int(o) for o in offsets)
     P, n_off, R = (int(s) for s in vals.shape)
+    Rq = _round_up(R, 1024)
     vflat, T = None, 0
     if (
         config.pallas_enabled()
         and offsets
-        and dia_spmv_pallas_viable(offsets, R, n_cols_pad, vals.dtype.itemsize)
+        and dia_spmv_pallas_viable(offsets, Rq, n_cols_pad, vals.dtype.itemsize)
     ):
-        T = _pick_tile(R)
-        vflat = _dia_flat_layout(vals, T)
+        T = _pick_tile(Rq, n_off, vals.dtype.itemsize)
+        vflat = _dia_flat_layout(vals, T, Rq)
     return DeviceBlock("dia", offsets, n_cols_pad, None, vals, vflat, T)
 
 
@@ -132,11 +146,18 @@ def freeze_block(
     n_rows_pad: int,
     n_cols_pad: int,
     prefer_dia: bool = True,
-    max_diags: int = 48,
+    max_diags: int = 128,
 ) -> DeviceBlock:
     """Choose DIA when every part block is banded with a small common
     diagonal set AND the dense-diagonal storage does not exceed the ELL
-    footprint; else ELL."""
+    footprint; else ELL.
+
+    ``max_diags`` is generous (128): TPU has no hardware gather, so the
+    ELL path runs ~3 orders of magnitude below roofline — any fixed-offset
+    band structure (7/27-pt stencils, Q1 FEM at 27, interleaved Q1
+    elasticity at 81, box-aggregated Galerkin levels) must land on the
+    streamed DIA kernels.  The storage guard below keeps DIA off blocks
+    whose band is mostly empty (dense-diagonal storage > ELL footprint)."""
     csrs = [b.tocsr() for b in blocks]
     if prefer_dia:
         offsets = dia_viable(csrs, max_diags=max_diags)

@@ -32,9 +32,14 @@ MIN_ROWS_FOR_PALLAS = 4096
 ALIGN = 1024
 
 
-def _pick_tile(R: int) -> int:
+def _pick_tile(R: int, n_off: int = 1, itemsize: int = 4) -> int:
+    """Largest row tile dividing R whose streamed values block
+    (n_off diagonals x T rows) fits the ~2 MB per-buffer VMEM budget —
+    wide stencils (e.g. the 81-offset Q1 elasticity band) take a smaller
+    tile instead of falling off the Pallas path (same rule as
+    gs_pallas._pick_tile)."""
     for t in (16384, 8192, 4096, 2048, 1024):
-        if R % t == 0:
+        if R % t == 0 and n_off * t * itemsize <= 2 * 1024 * 1024:
             return t
     return 0
 
@@ -63,8 +68,8 @@ def _dia_spmv_pallas(vals, x, *, offsets, lo, span, R, n_cols_pad):
     else:
         xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
         xpad = jax.lax.dynamic_update_slice(xpad, x, (-lo,))
-    T = _pick_tile(R)
     n_off = vals.shape[0]
+    T = _pick_tile(R, n_off, vals.dtype.itemsize)
     kernel = functools.partial(_dia_kernel, offsets, lo, T)
     out_dtype = jnp.promote_types(vals.dtype, x.dtype)
     return pl.pallas_call(
@@ -154,7 +159,11 @@ def dia_spmv_pallas_viable(offsets, R: int, n_cols_pad: int, itemsize: int) -> b
         # f64: the TPU X64 software rewriting does not handle custom
         # calls (Pallas kernels) — use the XLA stencil path
         return False
-    if not offsets or R < MIN_ROWS_FOR_PALLAS or _pick_tile(R) == 0:
+    if (
+        not offsets
+        or R < MIN_ROWS_FOR_PALLAS
+        or _pick_tile(R, len(offsets), itemsize) == 0
+    ):
         return False
     lo = min(min(offsets), 0)
     hi = max(max(offsets) + R, n_cols_pad)
