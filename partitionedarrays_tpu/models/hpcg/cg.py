@@ -184,3 +184,91 @@ def hpcg_cg_flat(mg, b: PVector, iterations: int = 50):
         backend,
     )
     return xv, norms
+
+
+def hpcg_cg_df64(
+    A: PSparseMatrix,
+    b_pair,
+    M: Optional[Callable[[PVector], PVector]] = None,
+    iterations: int = 50,
+):
+    """Official-precision PCG: matrix, vectors, dots and updates in df64
+    (two-float ~f64 arithmetic, ops/df64.py); the MG preconditioner stays
+    f32.  A preconditioner is an approximate inverse — its precision only
+    moves the convergence RATE; the residual recurrence (A@p, the dots,
+    x/r updates) is what bounds the achievable relative residual, and
+    those all run compensated here.  Validated against true f64 CG on CPU
+    (tests/test_df64.py::test_hpcg_cg_df64_matches_f64).
+
+    ``b_pair``: (hi, lo) PVectors on ``A.row_prange``.  Returns
+    ((x_hi, x_lo), resnorms[iterations+1]).
+    """
+    from ...ops import df64 as df
+    from ...psparse import spmv_df64
+
+    bh, bl = b_pair
+    backend = bh.backend
+    lay = bh.layout
+    ax = backend.axis_name()
+    Mfn = M if M is not None else (lambda r: r)
+
+    ddot = backend.spmd_cached(
+        ("hpcg_df_dot",),
+        lambda: (lambda ah, al, ch, cl: df.dot_spmd((ah, al), (ch, cl), ax)),
+    )
+
+    def dot(a, c):
+        h, l = ddot(a[0], a[1], c[0], c[1])
+        return h[0], l[0]  # identical on every part
+
+    def as_pvec_pair(v):
+        zg = jnp.zeros((v[0].shape[0], lay.n_ghost_pad), v[0].dtype)
+        return (
+            PVector(v[0], zg, lay, backend),
+            PVector(v[1], zg, lay, backend),
+        )
+
+    def precond(r):
+        z = Mfn(PVector(
+            r[0], jnp.zeros((r[0].shape[0], lay.n_ghost_pad), r[0].dtype),
+            lay, backend,
+        ))
+        return (z.own, jnp.zeros_like(z.own))
+
+    def a_apply(p):
+        ph, pl = as_pvec_pair(p)
+        # x lives on the row partition; re-home to the column layout
+        clay = A.col_layout()
+        zgc = jnp.zeros((p[0].shape[0], clay.n_ghost_pad), p[0].dtype)
+        yh, yl = spmv_df64(
+            A,
+            (PVector(ph.own, zgc, clay, backend), PVector(pl.own, zgc, clay, backend)),
+        )
+        return (yh.own, yl.own)
+
+    x = (jnp.zeros_like(bh.own), jnp.zeros_like(bh.own))
+    r = (bh.own, bl.own)
+    norm0 = jnp.sqrt(dot(r, r)[0])
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+
+    def body(k, state):
+        x, r, p, rz, norms = state
+        Ap = a_apply(p)
+        pAp = dot(p, Ap)
+        alpha = df.div(rz, pAp)
+        x = df.add(x, df.scale(p, alpha))
+        r = df.sub(r, df.scale(Ap, alpha))
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = df.div(rz_new, rz)
+        p = df.add(z, df.scale(p, beta))
+        norms = norms.at[k + 1].set(jnp.sqrt(dot(r, r)[0]))
+        return (x, r, p, rz_new, norms)
+
+    norms = jnp.zeros((iterations + 1,), dtype=bh.own.dtype).at[0].set(norm0)
+    x, r, p, rz, norms = jax.lax.fori_loop(
+        0, iterations, body, (x, r, p, rz, norms)
+    )
+    return x, norms

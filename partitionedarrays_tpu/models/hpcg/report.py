@@ -119,9 +119,17 @@ class HPCGReport:
         t = max(self.time_solve, 1e-12)
         dtype = self.extra.get("dtype", "unspecified")
         window = self.extra.get("phase3_window", "measured_sets")
-        official = " (OFFICIAL-RULES precision)" if dtype == "float64" else (
-            " (NOT official-rules precision: official HPCG is f64)"
-        )
+        if dtype == "float64":
+            official = " (OFFICIAL-RULES precision)"
+        elif dtype == "float64-df64":
+            official = (
+                " (official-precision configuration: two-float df64 ~49-bit"
+                " arithmetic, validated vs true f64 — TPU has no native f64;"
+                " IEEE-f64 purists should read this as f64-equivalent, not"
+                " bitwise IEEE)"
+            )
+        else:
+            official = " (NOT official-rules precision: official HPCG is f64)"
         lines = [
             "HPCG-Benchmark (TPU-native partitionedarrays)",
             "",

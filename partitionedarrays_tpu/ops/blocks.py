@@ -8,7 +8,7 @@ baked into the compiled program.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,3 +175,68 @@ def freeze_block(
                 )
     cols, vals = stack_ell(csrs, n_rows_pad)
     return DeviceBlock("ell", None, n_cols_pad, jnp.asarray(cols), jnp.asarray(vals))
+
+
+# -- df64 (two-float) block pairs -------------------------------------------
+
+def freeze_block_pair(
+    blocks64: Sequence[sp.spmatrix], n_rows_pad: int, n_cols_pad: int
+) -> Tuple["DeviceBlock", "DeviceBlock"]:
+    """Freeze f64 host blocks into a (hi, lo) pair of f32 DeviceBlocks with
+    identical structure — the storage of the official-precision (df64)
+    path (ops/df64.py).  DIA when banded (the pair's Pallas tile budgets
+    TWO value streams, so T may be smaller than the f32 block's); the ELL
+    pair shares one column-index array."""
+    from . import df64 as df
+    from .. import config
+    from .spmv_pallas import _pick_tile, dia_spmv_pallas_df_viable
+
+    csrs = [b.tocsr().astype(np.float64) for b in blocks64]
+    offsets = dia_viable(csrs, max_diags=128)
+    if offsets is not None and offsets.size:
+        kmax = max((int(np.diff(b.indptr).max()) if b.nnz else 0) for b in csrs)
+        if offsets.size <= max(2 * kmax, 4):
+            vals64 = stack_dia(csrs, n_rows_pad, offsets)  # [P, n_off, R] f64
+            hi, lo = df.from_f64(vals64)
+            offs = tuple(int(o) for o in offsets)
+            P, n_off, R = hi.shape
+            Rq = _round_up(R, 1024)
+            vfh = vfl = None
+            T = 0
+            if config.pallas_enabled() and dia_spmv_pallas_df_viable(
+                offs, Rq, n_cols_pad
+            ):
+                T = _pick_tile(Rq, 2 * n_off, 4)
+                vfh = _dia_flat_layout(jnp.asarray(hi), T, Rq)
+                vfl = _dia_flat_layout(jnp.asarray(lo), T, Rq)
+            bh = DeviceBlock("dia", offs, n_cols_pad, None, jnp.asarray(hi), vfh, T)
+            bl = DeviceBlock("dia", offs, n_cols_pad, None, jnp.asarray(lo), vfl, T)
+            return bh, bl
+    cols, vals64 = stack_ell(csrs, n_rows_pad)
+    hi, lo = df.from_f64(vals64)
+    cols_dev = jnp.asarray(cols)
+    bh = DeviceBlock("ell", None, n_cols_pad, cols_dev, jnp.asarray(hi))
+    bl = DeviceBlock("ell", None, n_cols_pad, cols_dev, jnp.asarray(lo))
+    return bh, bl
+
+
+def block_spmv_df(bh: "DeviceBlock", bl: "DeviceBlock", x_pair):
+    """y = block @ x in df64; per-part SPMD kernel on a freeze_block_pair."""
+    from .. import config
+    from .df64 import dia_spmv_df, ell_spmv_df, zeros as df_zeros
+    from .spmv_pallas import dia_spmv_pallas_df_viable, dia_spmv_pallas_flat_df
+
+    if bh.kind == "dia":
+        if not bh.offsets:
+            return df_zeros((bh.vals.shape[-1],), bh.vals.dtype)
+        R = bh.vals.shape[-1]
+        if bh.vflat is not None and config.pallas_enabled():
+            Rq = bh.vflat.shape[-1] // len(bh.offsets)
+            if dia_spmv_pallas_df_viable(bh.offsets, Rq, bh.n_cols_pad):
+                yh, yl = dia_spmv_pallas_flat_df(
+                    bh.offsets, bh.vflat, bl.vflat, x_pair, bh.n_cols_pad,
+                    R=Rq, T=bh.T,
+                )
+                return (yh, yl) if Rq == R else (yh[:R], yl[:R])
+        return dia_spmv_df(bh.offsets, bh.vals, bl.vals, x_pair, bh.n_cols_pad)
+    return ell_spmv_df(bh.cols, bh.vals, bl.vals, x_pair)

@@ -154,6 +154,105 @@ def dia_spmv_pallas_flat(offsets, vflat, x, n_cols_pad: int, *, R: int, T: int):
     )
 
 
+def _dia_kernel_flat_df(
+    offsets: Tuple[int, ...], lo: int, T: int,
+    vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref,
+):
+    """df64 (two-float) variant of _dia_kernel_flat: values and x are
+    (hi, lo) f32 pairs; each tap is an error-free Dekker two_prod folded
+    into a Knuth two_sum-compensated accumulator (~28 VPU flops per tap
+    vs 1 FMA — the price of f64-equivalent precision on f32 hardware).
+    See ops/df64.py for the algorithms and validation."""
+    from .df64 import quick_two_sum, two_prod, two_sum
+
+    i = pl.program_id(0)
+    base = pl.multiple_of(i * T, T)
+    acc_h = jnp.zeros((T,), jnp.float32)
+    acc_l = jnp.zeros((T,), jnp.float32)
+    for d in range(len(offsets)):
+        off = offsets[d] - lo  # static, >= 0
+        q, r = divmod(off, ALIGN)
+        Wh = xh_ref[pl.ds(base + q * ALIGN, T + ALIGN)]
+        Wl = xl_ref[pl.ds(base + q * ALIGN, T + ALIGN)]
+        sh = jax.lax.slice(Wh, (r,), (r + T,))
+        sl = jax.lax.slice(Wl, (r,), (r + T,))
+        vh = vh_ref[pl.ds(d * T, T)]
+        vl = vl_ref[pl.ds(d * T, T)]
+        p, e = two_prod(vh, sh)
+        e = e + (vh * sl + vl * sh)
+        acc_h, c = two_sum(acc_h, p)
+        acc_l = acc_l + (c + e)
+    yh, yl = quick_two_sum(acc_h, acc_l)
+    yh_ref[...] = yh
+    yl_ref[...] = yl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "lo", "span", "R", "n_cols_pad", "T")
+)
+def _dia_spmv_pallas_flat_df(
+    vfh, vfl, xh, xl, *, offsets, lo, span, R, n_cols_pad, T
+):
+    n_off = len(offsets)
+    kernel = functools.partial(_dia_kernel_flat_df, offsets, lo, T)
+
+    @jax.custom_batching.custom_vmap
+    def run(vfh, vfl, xh, xl):
+        def pad(x):
+            xpad = jnp.zeros((span + ALIGN,), dtype=x.dtype)
+            return jax.lax.dynamic_update_slice(xpad, x, (-lo,))
+
+        return pl.pallas_call(
+            kernel,
+            grid=(R // T,),
+            in_specs=[
+                pl.BlockSpec((n_off * T,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_off * T,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((R,), jnp.float32),
+                jax.ShapeDtypeStruct((R,), jnp.float32),
+            ),
+        )(vfh, vfl, pad(xh), pad(xl))
+
+    @run.def_vmap
+    def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        out = jax.lax.map(lambda t: run(*t), args)
+        return out, (True, True)
+
+    return run(vfh, vfl, xh, xl)
+
+
+def dia_spmv_pallas_flat_df(
+    offsets, vfh, vfl, x_pair, n_cols_pad: int, *, R: int, T: int
+):
+    lo = min(min(offsets), 0)
+    hi = max(max(offsets) + R, n_cols_pad)
+    return _dia_spmv_pallas_flat_df(
+        vfh, vfl, x_pair[0], x_pair[1], offsets=tuple(offsets), lo=lo,
+        span=hi - lo, R=R, n_cols_pad=n_cols_pad, T=T,
+    )
+
+
+def dia_spmv_pallas_df_viable(offsets, R: int, n_cols_pad: int) -> bool:
+    """Two f32 x buffers resident + two value streams per tile."""
+    if not offsets or R < MIN_ROWS_FOR_PALLAS or _pick_tile(R, 2 * len(offsets), 4) == 0:
+        return False
+    lo = min(min(offsets), 0)
+    hi = max(max(offsets) + R, n_cols_pad)
+    return (hi - lo + ALIGN) * 8 <= MAX_X_VMEM_BYTES
+
+
 def dia_spmv_pallas_viable(offsets, R: int, n_cols_pad: int, itemsize: int) -> bool:
     if itemsize > 4:
         # f64: the TPU X64 software rewriting does not handle custom

@@ -139,6 +139,7 @@ class PSparseMatrix:
         self.assembled = assembled
         self._device: Optional[DeviceSpMat] = None
         self._device_T = None
+        self._device_df = None
         # optional closed-form caches set by structured constructors
         # (ops/stencil.py): exact nnz, host copy of the own_own DIA values
         self._nnz_cache: Optional[int] = None
@@ -256,6 +257,7 @@ class PSparseMatrix:
     def invalidate_device(self):
         self._device = None
         self._device_T = None
+        self._device_df = None
         self._oo_dia_host = None
 
     # -- local (blockwise) algebra --------------------------------------
@@ -1309,3 +1311,82 @@ def psystem(
     A = psparse(I_parts, J_parts, V_parts, rows, cols, backend)
     b = pvector(Ib_parts, Vb_parts, A.row_prange, backend)
     return A, b
+
+
+# ---------------------------------------------------------------------------
+# df64 (official-precision two-float) SpMV — see ops/df64.py
+# ---------------------------------------------------------------------------
+
+def device_df64(A: PSparseMatrix):
+    """Freeze (hi, lo) f32 DeviceSpMat pair from the f64 host blocks of
+    ``A`` (assembled only).  This is the matrix storage of the
+    official-precision HPCG configuration: TPU v5e has no f64 unit and
+    XLA's x64 software emulation is non-viable for these kernels (a 32^3
+    GS sweep never completes), so f64-equivalent precision runs as
+    double-float arithmetic (capability parity with the reference's
+    Float64-everywhere storage, /root/reference/HPCG/src/sparse_matrix.jl:
+    115-118)."""
+    from .ops.blocks import freeze_block_pair
+
+    if A._device_df is None:
+        assert A.assembled, "device_df64: assemble the matrix first"
+        assert np.dtype(A.dtype) == np.float64, (
+            "device_df64 expects f64 host blocks (build with dtype=np.float64)"
+        )
+        rlay = A.row_layout()
+        clay = A.col_layout()
+        no = rlay.n_own_pad
+        ngc = max(clay.n_ghost_pad, 1)
+        ooh, ool = freeze_block_pair([b["oo"] for b in A.blocks], no, clay.n_own_pad)
+        ohh, ohl = freeze_block_pair([b["oh"] for b in A.blocks], no, ngc)
+        A._device_df = A.backend.shard(
+            (DeviceSpMat(ooh, ohh), DeviceSpMat(ool, ohl))
+        )
+    return A._device_df
+
+
+def spmv_df64(A: PSparseMatrix, x_pair) -> Tuple["PVector", "PVector"]:
+    """y = A @ x with matrix and vector in df64 (x_pair: (PVector, PVector)
+    hi/lo on ``A.col_prange``).  Ghost exchange runs once per component;
+    everything else is the compensated two-float pipeline (exact products,
+    error-free accumulations) — the result matches the f64 SpMV to
+    ~1e-13 relative (tests/test_df64.py)."""
+    from .ops.blocks import block_spmv_df
+    from .ops import df64 as df
+
+    xh, xl = x_pair
+    devh, devl = device_df64(A)
+    clay = xh.layout
+    rlay = A.row_layout()
+    backend = A.backend
+    has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
+
+    if has_cg:
+        def make_f():
+            def f(xoh, xol, xgh, xgl, cplan, dh, dl):
+                gh = cplan.apply(xoh, xgh, "set")
+                gl = cplan.apply(xol, xgl, "set")
+                y1 = block_spmv_df(dh.oo, dl.oo, (xoh, xol))
+                y2 = block_spmv_df(dh.oh, dl.oh, (gh, gl))
+                return df.add(y1, y2)
+
+            return f
+
+        yh, yl = backend.spmd_cached(("spmv_df_cg",), make_f)(
+            xh.own, xl.own, xh.ghost, xl.ghost, clay.consistent_plan, devh, devl
+        )
+    else:
+        def make_f():
+            def f(xoh, xol, dh, dl):
+                return block_spmv_df(dh.oo, dl.oo, (xoh, xol))
+
+            return f
+
+        yh, yl = backend.spmd_cached(("spmv_df",), make_f)(
+            xh.own, xl.own, devh, devl
+        )
+    zg = jnp.zeros((rlay.n_parts, rlay.n_ghost_pad), dtype=yh.dtype)
+    return (
+        PVector(yh, zg, rlay, backend),
+        PVector(yl, zg, rlay, backend),
+    )
