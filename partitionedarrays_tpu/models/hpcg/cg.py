@@ -228,12 +228,24 @@ def hpcg_cg_df64(
             PVector(v[1], zg, lay, backend),
         )
 
-    def precond(r):
-        z = Mfn(PVector(
-            r[0], jnp.zeros((r[0].shape[0], lay.n_ghost_pad), r[0].dtype),
-            lay, backend,
-        ))
-        return (z.own, jnp.zeros_like(z.own))
+    if M is None:
+        # identity preconditioner: z = r EXACTLY (both words).  Truncating
+        # to hi here f32-quantizes every search direction and the x built
+        # from them stalls at f32 eps even though the (df64) residual
+        # recurrence keeps converging — the round-2 red-test bug.
+        def precond(r):
+            return r
+    else:
+        # A real (f32) preconditioner is an approximate inverse; its output
+        # legitimately has no lo word.  Seeding lo with the residual's lo
+        # scaled by a diagonal estimate would be possible but unnecessary:
+        # M only moves the convergence rate.
+        def precond(r):
+            z = Mfn(PVector(
+                r[0], jnp.zeros((r[0].shape[0], lay.n_ghost_pad), r[0].dtype),
+                lay, backend,
+            ))
+            return (z.own, jnp.zeros_like(z.own))
 
     def a_apply(p):
         ph, pl = as_pvec_pair(p)

@@ -151,14 +151,23 @@ def hpcg_benchmark(
     if verbose:
         print(f"[hpcg] ref relres after {iterations} iters: {tolerance:.3e}")
 
-    # phase 2: validation — optimized run must reach the reference tolerance
+    # phase 2: validation — optimized run must reach the reference
+    # tolerance.  Recorded in the report (pass/fail + achieved value), NOT
+    # asserted: the reference's phase-2 flow reports a failed validation
+    # instead of crashing the run (HPCG/src/hpcg_benchmark.jl:59-78,
+    # report_results.jl tail).
     own, norms = one_set(A, mg, b)
     opt_norms = np.asarray(norms)
     opt_rel = opt_norms / opt_norms[0]
     opt_iters = int(np.argmax(opt_rel <= tolerance)) if (opt_rel <= tolerance).any() else iterations
     if opt_iters == 0:
         opt_iters = iterations
-    assert opt_rel[-1] <= tolerance * (1 + 1e-6), "optimized CG failed validation"
+    validation_passed = bool(opt_rel[-1] <= tolerance * (1 + 1e-6))
+    if verbose and not validation_passed:
+        print(
+            f"[hpcg] VALIDATION FAILED: achieved {opt_rel[-1]:.3e} vs"
+            f" reference tolerance {tolerance:.3e}"
+        )
 
     # phase 3: timed sets.  All sets run inside ONE compiled program,
     # chained through a runtime scalar (b is rescaled by the previous
@@ -251,6 +260,16 @@ def hpcg_benchmark(
             "levels": n_levels,
             "final_relres": float(opt_rel[-1]),
             "dtype": "float64-df64" if df64_mode else np.dtype(dtype).name,
+            # significand bits of the solve arithmetic: df64 carries ~49
+            # (two f32 words), NOT IEEE f64's 53 — surfaced here so the
+            # non-IEEE caveat travels with the rated figure, not only in
+            # the prose report line
+            "precision_bits": (
+                49 if df64_mode else (53 if np.dtype(dtype) == np.float64 else 24)
+            ),
+            "validation_passed": validation_passed,
+            "validation_tolerance": float(tolerance),
+            "validation_achieved": float(opt_rel[-1]),
             "phase3_window": window,
             "precond_values_dtype": (
                 str(jnp.dtype(precond_dtype)) if precond_dtype is not None else None

@@ -145,6 +145,20 @@ class HPCGReport:
             f"Iterations per set = {self.iterations}",
             f"Reference iterations per set = {self.ref_iterations}",
             "",
+            "Validation Summary (phase 2):",
+            (
+                "Optimized CG reached the reference tolerance: "
+                + (
+                    "PASSED"
+                    if self.extra.get("validation_passed", True)
+                    else "FAILED"
+                )
+            ),
+            (
+                f"Achieved relres = {self.extra.get('validation_achieved', float('nan')):.3e}"
+                f" vs reference tolerance = {self.extra.get('validation_tolerance', float('nan')):.3e}"
+            ),
+            "",
             "Benchmark Time Summary:",
             f"Setup = {self.time_setup:.4f}",
             f"Optimization phase = {self.time_optimization:.4f}",
@@ -166,7 +180,12 @@ class HPCGReport:
             f"Raw Total = {g['raw']:.3f}",
             f"Total with convergence and optimization phase overhead = {g['rated']:.3f}",
             "",
-            f"HPCG result is VALID with a GFLOP/s rating of: {g['rated']:.3f}",
+            (
+                f"HPCG result is VALID with a GFLOP/s rating of: {g['rated']:.3f}"
+                if self.extra.get("validation_passed", True)
+                else "HPCG result is INVALID: phase-2 validation failed"
+                f" (unrated GFLOP/s would have been {g['rated']:.3f})"
+            ),
             f"Results are valid but execution time (sec) is {self.time_solve:.4f}",
         ]
         return "\n".join(lines)

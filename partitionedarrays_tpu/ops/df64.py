@@ -36,8 +36,68 @@ import numpy as np
 _SPLIT = 4097.0  # 2**12 + 1
 
 
+def _pin(x):
+    """Pin a ROUNDED f32 value against compiler re-derivation.
+
+    Error-free transformations are only correct if the compiler evaluates
+    exactly the written sequence of roundings.  XLA does not honor that:
+    it rematerializes cheap producers into every consumer fusion and then
+    (a) FMA-contracts patterns like ``s - a*b`` into ``fnmsub(a, b, s)``,
+    substituting the EXACT product where the algebra requires the rounded
+    one (this also collapses the Veltkamp split: ``a1 - a`` with
+    ``a1 = a*4097`` becomes an exact fms and the split degenerates to
+    (a, 0)), and (b) REASSOCIATES inlined add chains — measured: with
+    ``p2 = e + cross`` inlined, ``s = p + p2`` was compiled as
+    ``(p + e) + cross``, a misrounding of 1 ulp(s) that breaks the
+    (hi, lo) invariant.  Net effect before the fix: the df64 CG's solution
+    stalled at f32 eps while its recurred residual reached 1e-9 (the
+    round-2 red test).
+
+    ``reduce_precision(x, 8, 23)`` is a numerical identity on f32 but a
+    distinct HLO op: neither the algebraic simplifier nor LLVM will fuse,
+    reassociate, or fold THROUGH it (optimization_barrier and bitcast
+    round-trips get dropped/collapsed by the CPU pipeline; this does not).
+    Discipline: every input of an error-free transformation is pinned, so
+    no associativity/contraction chain can cross into its load-bearing
+    roundings; interior low-order terms stay unpinned (a contraction there
+    moves the result by <= 1 ulp of lo, which the algebra tolerates).
+    Cost: ~1 VPU op each — noise against the HBM-bound df64 SpMV."""
+    return jax.lax.reduce_precision(x, 8, 23)
+
+
+def two_sum_raw(a, b):
+    """two_sum WITHOUT pins — for Pallas kernels only (Mosaic does not
+    lower reduce_precision, and its direct vector lowering performs none of
+    the XLA-side remat/contraction/reassociation rewrites _pin guards
+    against; validated on hardware against the pinned XLA path)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum_raw(a, b):
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod_raw(a, b):
+    p = a * b
+    a1 = a * _SPLIT
+    ah = a1 - (a1 - a)
+    al = a - ah
+    b1 = b * _SPLIT
+    bh = b1 - (b1 - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
 def two_sum(a, b):
     """Error-free a + b = s + e (Knuth, 6 flops, branch-free)."""
+    a = _pin(a)
+    b = _pin(b)
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -46,6 +106,8 @@ def two_sum(a, b):
 
 def quick_two_sum(a, b):
     """Error-free a + b = s + e assuming |a| >= |b| (3 flops)."""
+    a = _pin(a)
+    b = _pin(b)
     s = a + b
     e = b - (s - a)
     return s, e
@@ -54,11 +116,16 @@ def quick_two_sum(a, b):
 def two_prod(a, b):
     """Error-free a * b = p + e (Dekker split, 17 flops; overflow-safe for
     |a|,|b| < ~1e31, far beyond this library's operating range)."""
-    p = a * b
-    a1 = a * _SPLIT
+    # see _pin: inputs, the product, and the Veltkamp split products must
+    # all be pinned; the remaining unpinned products only feed second-order
+    # terms where a single contraction is harmless (<= 1 ulp of lo).
+    a = _pin(a)
+    b = _pin(b)
+    p = _pin(a * b)
+    a1 = _pin(a * _SPLIT)
     ah = a1 - (a1 - a)
     al = a - ah
-    b1 = b * _SPLIT
+    b1 = _pin(b * _SPLIT)
     bh = b1 - (b1 - b)
     bl = b - bh
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

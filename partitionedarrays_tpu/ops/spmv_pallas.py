@@ -163,7 +163,11 @@ def _dia_kernel_flat_df(
     into a Knuth two_sum-compensated accumulator (~28 VPU flops per tap
     vs 1 FMA — the price of f64-equivalent precision on f32 hardware).
     See ops/df64.py for the algorithms and validation."""
-    from .df64 import quick_two_sum, two_prod, two_sum
+    from .df64 import (
+        quick_two_sum_raw as quick_two_sum,
+        two_prod_raw as two_prod,
+        two_sum_raw as two_sum,
+    )
 
     i = pl.program_id(0)
     base = pl.multiple_of(i * T, T)

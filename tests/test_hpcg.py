@@ -114,3 +114,30 @@ def test_ghosted_flat_cycle_matches_generic(backend4):
     got = np.asarray(mg(b).own)
     want = np.asarray(generic_cycle(mg.n_levels - 1, b).own)
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_hpcg_driver_df64_end_to_end(backend4):
+    """The precision="df64" driver path end-to-end: the f64 generic
+    rebuild + f32 MG preconditioner + df64 CG must deliver f64-grade
+    residuals and a report that carries the non-IEEE caveat
+    (precision_bits=49) and the phase-2 validation verdict.  Guards the
+    implicit invariant that the structured f32 build (preconditioner) and
+    the structured=False f64 rebuild (operator) share own-DOF ordering."""
+    report = hpcg_benchmark(
+        backend4,
+        local_shape=(8, 8, 8),
+        parts_per_dir=(2, 2, 1),
+        n_levels=2,
+        iterations=25,
+        ref_sets=1,
+        timed_sets=1,
+        precision="df64",
+    )
+    s = report.summary()
+    assert s["dtype"] == "float64-df64"
+    assert s["precision_bits"] == 49
+    assert s["validation_passed"] is True
+    # f64-grade: far beyond the ~1e-7 f32 stall
+    assert s["final_relres"] < 1e-9
+    assert s["GFLOPs"]["rated"] > 0
+    assert "PASSED" in report.to_txt()
