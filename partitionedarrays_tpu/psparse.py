@@ -489,25 +489,37 @@ def psparse(
         ]
     else:
         # shuffle triplets to their row owners (host all-to-all; parity:
-        # assemble_coo!, src/p_sparse_matrix.jl:213-289)
+        # assemble_coo!, src/p_sparse_matrix.jl:213-289).  One stable
+        # argsort-by-owner per part + O(1) run slicing — the former
+        # per-destination boolean masks were O(P * nnz_p) per part and
+        # dominated large-P setup (round-2 VERDICT item #4).
         owners = find_owner(rows_pr.partition(), I_parts)
-        buckets = [[] for _ in range(P)]
+        sorted_parts = []
         for p in range(P):
             I = np.asarray(I_parts[p], dtype=INT)
             J = np.asarray(J_parts[p], dtype=INT)
             V = np.asarray(V_parts[p], dtype=dtype)
-            o = owners[p]
-            idx = np.arange(I.size, dtype=INT)
-            for d in range(P):
-                m = o == d
-                if m.any():
-                    buckets[d].append((I[m], J[m], V[m], np.full(m.sum(), p, dtype=INT), idx[m]))
+            o = np.asarray(owners[p], dtype=INT)
+            ordr = np.argsort(o, kind="stable")
+            so = o[ordr]
+            bounds = np.searchsorted(so, np.arange(P + 1))
+            sorted_parts.append(
+                (I[ordr], J[ordr], V[ordr], ordr.astype(INT), bounds)
+            )
         tri = []
+        z = np.zeros(0, dtype=INT)
         for d in range(P):
-            if buckets[d]:
-                tri.append(tuple(np.concatenate([b[k] for b in buckets[d]]) for k in range(5)))
+            segs = [
+                (sI[b[d]:b[d + 1]], sJ[b[d]:b[d + 1]], sV[b[d]:b[d + 1]],
+                 np.full(b[d + 1] - b[d], p, dtype=INT), sidx[b[d]:b[d + 1]])
+                for p, (sI, sJ, sV, sidx, b) in enumerate(sorted_parts)
+                if b[d + 1] > b[d]
+            ]
+            if segs:
+                tri.append(
+                    tuple(np.concatenate([s[k] for s in segs]) for k in range(5))
+                )
             else:
-                z = np.zeros(0, dtype=INT)
                 tri.append((z, z, np.zeros(0, dtype=dtype), z, z))
 
     subassembled = not (assembled or assemble)
@@ -541,12 +553,11 @@ def _build_reuse_cache(A: PSparseMatrix, tri, infos):
     src/p_sparse_matrix.jl:1291-1305)."""
     order = ("oo", "oh", "ho", "hh")
     P = len(tri)
-    n_orig = [0] * P
+    n_orig = np.zeros(P, dtype=np.int64)
     for p in range(P):
         _, _, _, op_, oi_ = tri[p]
         if op_.size:
-            for q in np.unique(op_):
-                n_orig[q] = max(n_orig[q], int(oi_[op_ == q].max()) + 1)
+            np.maximum.at(n_orig, op_, oi_.astype(np.int64) + 1)
     dest_part = [np.full(n, -1, dtype=INT) for n in n_orig]
     dest_block = [np.full(n, -1, dtype=INT) for n in n_orig]
     dest_pos = [np.full(n, -1, dtype=INT) for n in n_orig]
@@ -574,10 +585,14 @@ def _build_reuse_cache(A: PSparseMatrix, tri, infos):
             pos = precompute_nzindex(blk, ri[sel], ci[sel])
             opp = op_[sel]
             oii = oi_[sel]
-            for t in range(pos.size):
-                dest_part[opp[t]][oii[t]] = p
-                dest_block[opp[t]][oii[t]] = bi
-                dest_pos[opp[t]][oii[t]] = pos[t]
+            # group by origin part; vectorized scatter per group (the
+            # former per-triplet python loop was O(nnz) interpreter time)
+            for q in np.unique(opp):
+                mq = opp == q
+                oq = oii[mq]
+                dest_part[q][oq] = p
+                dest_block[q][oq] = bi
+                dest_pos[q][oq] = pos[mq]
     return (dest_part, dest_block, dest_pos)
 
 
@@ -594,11 +609,15 @@ def psparse_refill(A: PSparseMatrix, V_parts, cache) -> None:
     for q, V in enumerate(V_parts):
         V = np.asarray(V)
         dp, db, dx = dest_part[q], dest_block[q], dest_pos[q]
-        for p in np.unique(dp[dp >= 0]):
-            for bi in range(4):
-                m = (dp == p) & (db == bi) & (dx >= 0)
-                if m.any():
-                    np.add.at(A.blocks[p][order[bi]].data, dx[m], V[m])
+        ok = dx >= 0
+        key = dp[ok] * 4 + db[ok]
+        for k in np.unique(key):
+            m = key == k
+            np.add.at(
+                A.blocks[int(k) // 4][order[int(k) % 4]].data,
+                dx[ok][m],
+                V[ok][m],
+            )
     A.invalidate_device()
 
 

@@ -1,0 +1,118 @@
+"""Slot-format unstructured SpMV (ops/slot_spmv.py).
+
+The TPU kernel's math twin (slot_spmv_ref) is validated against scipy and
+against the plain ELL gather on the operators the slot path exists for:
+generic FEM blocks and random locality-ordered sparsity (reference
+counterpart: the general CSR spmv!, src/sparse_utils.jl:649-669)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from partitionedarrays_tpu.ops.ell import stack_ell, ell_spmv
+from partitionedarrays_tpu.ops.slot_spmv import (
+    build_slot_plan,
+    slot_spmv_ref,
+)
+
+
+def _random_banded(n, bw, k, seed):
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for r in range(n):
+        lo = max(0, r - bw // 2)
+        hi = min(n, r + bw // 2 + 1)
+        c = rng.choice(np.arange(lo, hi), size=min(k, hi - lo), replace=False)
+        rows += [r] * len(c)
+        cols += list(c)
+        vals += list(rng.standard_normal(len(c)))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+def _pad(A, n_rows_pad, n_cols_pad):
+    B = A.tocsr().copy()
+    B.resize((n_rows_pad, n_cols_pad))
+    return B
+
+
+@pytest.mark.parametrize(
+    "n,bw,k", [(1000, 300, 30), (3000, 1500, 60), (300, 300, 7)]
+)
+def test_slot_matches_scipy_and_ell(n, bw, k):
+    A = _random_banded(n, bw, k, seed=n)
+    n_pad = ((n + 511) // 512) * 512
+    Ap = _pad(A, n_pad, n_pad)
+    plan = build_slot_plan([Ap], n_pad, n_pad)
+    assert plan is not None
+    m = plan.meta
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n_pad).astype(np.float32)
+    y = np.asarray(
+        slot_spmv_ref(
+            jnp.asarray(plan.idx[0]),
+            jnp.asarray(plan.vals[0].astype(np.float32)),
+            jnp.asarray(plan.srow[0]),
+            jnp.asarray(plan.base[0]),
+            jnp.asarray(x),
+            m,
+        )
+    )
+    exp = Ap.astype(np.float32) @ x
+    scale = np.abs(Ap.astype(np.float32)) @ np.abs(x) + 1e-6
+    assert (np.abs(y[: m.n_rows] - exp) / scale).max() < 1e-5
+    # parity with the ELL gather on the same operator
+    cols, vals = stack_ell([Ap.astype(np.float32)], n_pad)
+    y_ell = np.asarray(ell_spmv(jnp.asarray(cols[0]), jnp.asarray(vals[0]), jnp.asarray(x)))
+    assert (np.abs(y[: m.n_rows] - y_ell[: m.n_rows]) / scale).max() < 1e-5
+
+
+def test_slot_multipart_shapes_and_empty():
+    """Common static shapes across parts; an empty part block."""
+    A0 = _random_banded(600, 200, 9, seed=0)
+    A1 = sp.csr_matrix((600, 600))
+    n_pad = 1024
+    plan = build_slot_plan([_pad(A0, n_pad, n_pad), _pad(A1, n_pad, n_pad)], n_pad, n_pad)
+    assert plan is not None
+    assert plan.idx.shape[0] == 2
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n_pad).astype(np.float32)
+    for p, A in enumerate([A0, A1]):
+        y = np.asarray(
+            slot_spmv_ref(
+                jnp.asarray(plan.idx[p]),
+                jnp.asarray(plan.vals[p].astype(np.float32)),
+                jnp.asarray(plan.srow[p]),
+                jnp.asarray(plan.base[p]),
+                jnp.asarray(x),
+                plan.meta,
+            )
+        )
+        exp = _pad(A, n_pad, n_pad).astype(np.float32) @ x
+        assert np.abs(y - exp).max() < 1e-3
+
+
+def test_freeze_block_attaches_slot():
+    from partitionedarrays_tpu.ops.blocks import freeze_block
+
+    A = _random_banded(700, 250, 12, seed=5).astype(np.float32)
+    n_pad = 1024
+    blk = freeze_block([_pad(A, n_pad, n_pad)], n_pad, n_pad, prefer_dia=False)
+    assert blk.kind == "ell"
+    assert blk.slot is not None and blk.slot_meta is not None
+    # spmv dispatch (pallas off on CPU -> ell path) still correct
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
+    import jax
+
+    y = np.asarray(jax.vmap(lambda b, xv: b.spmv(xv), in_axes=(0, None))(blk, x))
+    exp = _pad(A, n_pad, n_pad) @ np.asarray(x)
+    assert np.abs(y[0] - exp).max() < 1e-3
+    # and the slot twin agrees
+    from partitionedarrays_tpu.ops.slot_spmv import slot_spmv_ref
+
+    s_idx, s_vals, s_srow, s_onehot, s_base = blk.slot
+    y2 = np.asarray(
+        slot_spmv_ref(s_idx[0], s_vals[0], s_srow[0], s_base[0], x, blk.slot_meta)
+    )
+    assert np.abs(y2 - exp).max() < 1e-3
