@@ -122,6 +122,11 @@ class MeshBackend(Backend):
         from . import config
 
         config.enable_compilation_cache()
+        if config.pallas_enabled():
+            # warm the pallas import tree now (1.5 s of python module
+            # compilation): otherwise the first matrix freeze pays it,
+            # which lands inside user-visible solver setup time
+            from .ops import spmv_pallas  # noqa: F401
 
     def spmd(self, f: Callable) -> Callable:
         spec = PartitionSpec(AXIS)
