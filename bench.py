@@ -341,6 +341,33 @@ def hpcg_rating():
     )
 
 
+def hpcg_df64_rating():
+    """Official-precision (df64 two-float ~f64) HPCG rating.  64^3: the
+    f64 operator build runs the generic host path (the structured
+    on-device generator would need jax x64), which at 128^3 costs ~10
+    minutes of host time — the report carries local_shape and
+    precision_bits=49 so the figure is self-describing."""
+    from partitionedarrays_tpu.models.hpcg.driver import hpcg_benchmark
+
+    report = hpcg_benchmark(
+        None,
+        local_shape=(64, 64, 64),
+        parts_per_dir=(1, 1, 1),
+        n_levels=4,
+        iterations=50,
+        ref_sets=1,
+        total_runtime=60.0,
+        precision="df64",
+    )
+    s = report.summary()
+    return (
+        s["GFLOPs"]["raw"],
+        s["GFLOPs"]["rated"],
+        s["final_relres"],
+        s["validation_passed"],
+    )
+
+
 def main():
     import jax
 
@@ -350,6 +377,17 @@ def main():
         hpcg_gf, hpcg_rated, hpcg_gbs, hpcg_res = hpcg_rating()
     except Exception:
         hpcg_gf = hpcg_rated = hpcg_gbs = hpcg_res = None
+    try:
+        df_raw, df_rated, df_res, df_valid = hpcg_df64_rating()
+        df64 = {
+            "hpcg_gflops_raw_df64": df_raw,
+            "hpcg_gflops_rated_df64": df_rated,
+            "hpcg_df64_final_relres": df_res,
+            "hpcg_df64_validation_passed": df_valid,
+            "hpcg_df64_precision_bits": 49,
+        }
+    except Exception as e:
+        df64 = {"hpcg_gflops_rated_df64": None, "df64_error": repr(e)[:200]}
     try:
         amg_dt, amg_setup, amg_iters = amg_cycle_bench()
         amg_ms, amg_setup_s = round(amg_dt * 1e3, 3), round(amg_setup, 1)
@@ -392,6 +430,7 @@ def main():
             "amg64_vcycle_ms": amg_ms,
             "amg64_setup_s": amg_setup_s,
             "amg64_cg_iters_1e8": amg_iters,
+            **df64,
             **ell,
         },
     }

@@ -129,19 +129,21 @@ _MAX_Q = 4096
 
 
 def build_slot_plan(
-    blocks: Sequence[sp.spmatrix], n_rows_pad: int, n_cols_pad: int
+    blocks: Sequence[sp.spmatrix], n_rows_pad: int, n_cols_pad: int,
+    force_rt: Optional[int] = None,
 ) -> Optional[SlotPlan]:
     """Plan the slot layout for per-part CSR blocks (common static shape
     across parts).  Returns None when the format is not viable (huge row
     span, pathological packing, tensor too large) — callers keep the
-    plain ELL gather."""
+    plain ELL gather.  ``force_rt`` pins rows_per_tile (the fused GS
+    sweep kernel requires 128 so one tile is one x2d row)."""
     csrs = [b.tocsr() for b in blocks]
     for b in csrs:
         b.sort_indices()
     if n_cols_pad == 0 or all(b.nnz == 0 for b in csrs):
         return None
     best = None
-    for rt in (128, 64, 32, 16, 8):
+    for rt in (128, 64, 32, 16, 8) if force_rt is None else (force_rt,):
         dims = [_plan_dims(b, rt) for b in csrs]
         Q = max(d[0] for d in dims)
         S = max(d[1] for d in dims)

@@ -1,0 +1,326 @@
+"""Natural-order Gauss-Seidel on the slot-SpMV engine (ops/slot_spmv).
+
+The general (non-banded) GS fallback used to rebuild per-color sliced-ELL
+blocks (setup O(n_colors * nnz) host copies) and sweep through the XLA
+gather path (~0.15 Gelem/s on TPU) — round-2 VERDICT weak #7 / item #8.
+
+TPU-first redesign, second iteration.  A first attempt (color-sorted
+rows, one slot plan sliced per color) measured two structural costs: the
+color permutation destroys column locality, collapsing slot utilization
+to ~9% on Q1 elasticity, and per-color kernel launches alone cost more
+than the whole sweep should.  This design keeps the NATURAL row order —
+exactly the reference's sequential-within-part semantics
+(gauss_seidel, smoothers.jl:82-125) — and makes the sequential part
+dense:
+
+- rows are tiled 128 per grid step; the per-part x vector lives in VMEM
+  as its (s_total, 128) plane for the WHOLE sweep (tile t == plane row
+  t), one Pallas launch per smoother application;
+- OFF-TILE coupling (columns outside the tile's own 128) streams
+  through the slot plan (lane-gather at HBM roofline, built on the
+  unpermuted operator where locality survives);
+- WITHIN-TILE coupling is exact pointwise GS via precomputed dense
+  128x128 factors: forward tiles apply
+  ``x_t = (D+L)^{-1} (b_t - y_off - U x_t_old)``, backward tiles the
+  mirror — two small MXU matvecs per tile.  (D+L)^{-1} is formed at
+  setup (a triangular inverse per tile, batched on host);
+- the hybrid/processor-block structure is unchanged: one ghost exchange
+  per application, ghost contributions folded into b
+  (consistent! once per smooth, smoothers.jl:104-105).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.slot_spmv import SlotMeta, build_slot_plan, slot_spmv
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if x > 0 else 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Q", "Qp", "S", "n_tiles", "s_total", "n_steps"),
+)
+def _fused_sweep_pallas(
+    idx, vals, srow3, base, dense_m, dense_n, bp, x0, tile_order, dense_sel,
+    *, Q, Qp, S, n_tiles, s_total, n_steps,
+):
+    """One Pallas launch runs the whole sweep sequence.  The x plane is
+    VMEM-resident and aliased input->output; the grid walks
+    ``tile_order`` (tiles in sweep order, forward then backward for a
+    symmetric application) with ``dense_sel`` choosing the matching
+    dense factors ((D+L)^-1, U) or ((D+U)^-1, L).  Each step gathers its
+    off-tile window from the LIVE plane (sequential TPU grid semantics
+    make the in-place dependency exact), adds the old-x within-tile
+    contribution and applies the dense inverse on the MXU.  The one-hot
+    routing is rebuilt in-kernel from the srow vector — a precomputed
+    one-hot at sweep window sizes would rival the slot bytes."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    @jax.custom_batching.custom_vmap
+    def run(idx, vals, srow3, base, dense_m, dense_n, bp, x0, tile_order, dense_sel):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # tile_order, dense_sel, base
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x plane (aliased)
+                pl.BlockSpec(
+                    (1, Q, 128), lambda i, t, d, b: (t[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Q, 128), lambda i, t, d, b: (t[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, Qp), lambda i, t, d, b: (t[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 128, 128), lambda i, t, d, b: (d[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 128, 128), lambda i, t, d, b: (d[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 128), lambda i, t, d, b: (t[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+
+        def kernel(
+            t_ref, d_ref, b_ref, x_ref, i_ref, v_ref, s_ref,
+            m_ref, n_ref, bp_ref, o_ref,
+        ):
+            i = pl.program_id(0)
+            t = t_ref[i]
+            win = o_ref[pl.ds(b_ref[t], S), :]  # live x window
+            sr = s_ref[0, 0, :Q]  # (Q,) lanes
+            ohT = (
+                jax.lax.broadcasted_iota(jnp.int32, (S, Q), 0) == sr[None, :]
+            ).astype(win.dtype)
+            op = jax.lax.dot_general(
+                ohT, win, (((0,), (0,)), ((), ())),
+                preferred_element_type=win.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (Q, 128)
+            g = jnp.take_along_axis(op, i_ref[0], axis=1)
+            y = jnp.sum(g * v_ref[0], axis=0)  # off-tile row sums (128,)
+            x_old = o_ref[pl.ds(t, 1), :]  # (1, 128)
+            # old-x within-tile term: row i gets sum_j N[i,j] x_j; N is
+            # stored TRANSPOSED so this is x_old @ N_T
+            contrib = jax.lax.dot_general(
+                x_old, n_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=win.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (1, 128)
+            rhs = bp_ref[0] - y[None, :] - contrib  # (1, 128)
+            # x_new = M @ rhs with M stored transposed: rhs @ M_T
+            x_new = jax.lax.dot_general(
+                rhs, m_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=win.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[pl.ds(t, 1), :] = x_new
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((s_total, 128), x0.dtype),
+            input_output_aliases={3: 0},
+        )(tile_order, dense_sel, base, x0, idx, vals, srow3, dense_m, dense_n, bp)
+
+    @run.def_vmap
+    def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        return jax.lax.map(lambda t: run(*t), args), True
+
+    return run(idx, vals, srow3, base, dense_m, dense_n, bp, x0, tile_order, dense_sel)
+
+
+class NaturalTileGS:
+    """Sweep state.  Static metadata on the object; device arrays in
+    ``arrs`` (a pytree passed through SPMD wrappers — the object itself
+    goes in cache keys only)."""
+
+    @classmethod
+    def build(cls, A) -> Optional["NaturalTileGS"]:
+        lay = A.row_layout()
+        P = len(A.blocks)
+        n_own_pad = lay.n_own_pad
+        dtype = np.dtype(A.dtype)
+        Rp = _round_up(n_own_pad, 128)
+        n_real_tiles = Rp // 128
+
+        off_blocks = []
+        dense = np.zeros((P, n_real_tiles, 128, 128), dtype)
+        for p in range(P):
+            oo = A.blocks[p]["oo"].tocoo()
+            tr = oo.row // 128
+            tc = oo.col // 128
+            inside = tr == tc
+            # dense within-tile blocks
+            np.add.at(
+                dense[p], (tr[inside], oo.row[inside] % 128, oo.col[inside] % 128),
+                oo.data[inside],
+            )
+            off_blocks.append(
+                sp.csr_matrix(
+                    (
+                        oo.data[~inside],
+                        (oo.row[~inside], oo.col[~inside]),
+                    ),
+                    shape=(Rp, Rp),
+                )
+            )
+        # identity on empty-diagonal (padding) rows so the factors exist
+        di = np.arange(128)
+        dvals = dense[:, :, di, di]
+        dense[:, :, di, di] = np.where(dvals == 0, 1.0, dvals)
+        plan = build_slot_plan(off_blocks, Rp, Rp, force_rt=128)
+        if plan is None:
+            return None
+        meta = plan.meta
+
+        # triangular factors (batched host inverses; ~128^3/3 flops each)
+        tril = np.tril(dense)
+        triu = np.triu(dense)
+        m_fwd = np.linalg.inv(tril)
+        m_bwd = np.linalg.inv(triu)
+        u_str = np.triu(dense, 1)
+        l_str = np.tril(dense, -1)
+        # store transposed (kernel computes row @ M_T); stack [fwd; bwd]
+        dense_m = np.concatenate(
+            [np.swapaxes(m_fwd, -1, -2), np.swapaxes(m_bwd, -1, -2)], axis=1
+        ).astype(dtype)
+        dense_n = np.concatenate(
+            [np.swapaxes(u_str, -1, -2), np.swapaxes(l_str, -1, -2)], axis=1
+        ).astype(dtype)
+
+        self = cls.__new__(cls)
+        self.meta = meta
+        self.Rp = Rp
+        self.n_real_tiles = n_real_tiles
+        Q = meta.n_slot_rows
+        self.Qp = _round_up(Q, 128)
+        srow3 = np.zeros((P, meta.n_tiles, 1, self.Qp), np.int32)
+        srow3[:, :, 0, :Q] = plan.srow
+        self._torder_cache = {}
+        shard = A.backend.shard
+        self.arrs = (
+            shard(jnp.asarray(plan.idx)),
+            shard(jnp.asarray(plan.vals)),
+            shard(jnp.asarray(srow3)),
+            shard(jnp.asarray(plan.srow)),
+            shard(jnp.asarray(plan.base)),
+            shard(jnp.asarray(dense_m)),
+            shard(jnp.asarray(dense_n)),
+        )
+        return self
+
+    def _orders(self, dir_seq) -> tuple:
+        """tile_order and dense_sel arrays for a direction sequence like
+        ('f', 'b')."""
+        key = tuple(dir_seq)
+        got = self._torder_cache.get(key)
+        if got is None:
+            nt = self.n_real_tiles
+            t_parts, d_parts = [], []
+            for d in dir_seq:
+                if d == "f":
+                    t_parts.append(np.arange(nt, dtype=np.int32))
+                    d_parts.append(np.arange(nt, dtype=np.int32))
+                else:
+                    t_parts.append(np.arange(nt - 1, -1, -1, dtype=np.int32))
+                    d_parts.append(
+                        nt + np.arange(nt - 1, -1, -1, dtype=np.int32)
+                    )
+            got = (np.concatenate(t_parts), np.concatenate(d_parts))
+            self._torder_cache[key] = got
+        return got
+
+    # -- per-part SPMD sweep (inside backend.spmd; ``arrs`` has the part
+    # axis stripped by vmap) --------------------------------------------
+    def sweeps(self, xo, bo_eff, arrs, dir_seq):
+        from .. import config
+
+        idx, vals, srow3, srow, base, dense_m, dense_n = arrs
+        meta = self.meta
+        # dense factors are stacked (n_real_tiles, 2, ...) -> flat pairs
+        # [t*2] = fwd, [t*2+1] = bwd
+        if config.pallas_enabled():
+            torder, dsel = self._orders(dir_seq)
+            xp = (
+                jnp.zeros((self.Rp,), bo_eff.dtype)
+                if xo is None
+                else jnp.zeros((self.Rp,), xo.dtype).at[: xo.shape[0]].set(xo)
+            )
+            x0 = (
+                jnp.zeros((meta.s_total * 128,), xp.dtype)
+                .at[: self.Rp]
+                .set(xp)
+                .reshape(meta.s_total, 128)
+            )
+            bp3 = (
+                jnp.zeros((meta.n_tiles * 128,), bo_eff.dtype)
+                .at[: bo_eff.shape[0]]
+                .set(bo_eff)
+                .reshape(meta.n_tiles, 1, 128)
+            )
+            out = _fused_sweep_pallas(
+                idx, vals, srow3, base, dense_m, dense_n, bp3, x0,
+                jnp.asarray(torder), jnp.asarray(dsel),
+                Q=meta.n_slot_rows, Qp=self.Qp, S=meta.window,
+                n_tiles=meta.n_tiles, s_total=meta.s_total,
+                n_steps=int(torder.shape[-1]),
+            )
+            return out.reshape(-1)[: bo_eff.shape[0]]
+        # XLA twin (CPU mesh / validation): same math, per-tile python loop
+        xp = (
+            jnp.zeros((self.Rp,), bo_eff.dtype)
+            if xo is None
+            else jnp.zeros((self.Rp,), xo.dtype).at[: xo.shape[0]].set(xo)
+        )
+        bp = (
+            jnp.zeros((self.Rp,), bo_eff.dtype)
+            .at[: bo_eff.shape[0]]
+            .set(bo_eff)
+        )
+        nt = self.n_real_tiles
+        for d in dir_seq:
+            order = range(nt) if d == "f" else range(nt - 1, -1, -1)
+            off = 0 if d == "f" else nt
+            for t in order:
+                meta_t = SlotMeta(
+                    128, meta.n_slot_rows, meta.window, 1, 128, meta.s_total,
+                )
+                y = slot_spmv(
+                    idx[t : t + 1], vals[t : t + 1], srow[t : t + 1], None,
+                    base[t : t + 1], xp, meta_t,
+                )
+                x_old = jax.lax.dynamic_slice(xp, (t * 128,), (128,))
+                contrib = x_old @ dense_n[off + t]
+                rhs = (
+                    jax.lax.dynamic_slice(bp, (t * 128,), (128,))
+                    - y
+                    - contrib
+                )
+                x_new = rhs @ dense_m[off + t]
+                xp = jax.lax.dynamic_update_slice(xp, x_new, (t * 128,))
+        return xp[: bo_eff.shape[0]]

@@ -204,17 +204,26 @@ class GaussSeidel:
                 self.colored.vals_d = A.backend.shard(self.colored.vals_d)
                 self.colored.invd_d = A.backend.shard(self.colored.invd_d)
                 self.n_colors = self.colored.m
+        self.slot_gs = None
         if self.colored is None:
             diag_parts = [b["oo"].diagonal() for b in A.blocks]
             diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
-            # general fallback: SORTED-BY-COLOR true GS.  Each color's rows
-            # get their own sliced ELL sub-blocks, so one sweep costs one
-            # full-SpMV worth of gathers (a masked formulation would cost
-            # n_colors full SpMVs per sweep — 16x slower on typical AMG
-            # Galerkin levels).
-            from ..ops.ell import stack_ell
+            # general fallback, tier 1: natural-order tile GS on the slot
+            # engine — off-tile coupling via the lane-gather kernel,
+            # within-tile exactly sequential via dense (D+L)^-1 factors
+            # on the MXU (solvers/gs_slot.py)
+            from .gs_slot import NaturalTileGS
 
+            self.slot_gs = NaturalTileGS.build(A)
+            if self.slot_gs is not None:
+                self.n_colors = 1
+                return
             color_parts = [greedy_coloring(b["oo"]) for b in A.blocks]
+            # tier 2 (slot planner declined): SORTED-BY-COLOR true GS on
+            # sliced ELL sub-blocks — one sweep costs one full-SpMV worth
+            # of gathers (a masked formulation would cost n_colors full
+            # SpMVs per sweep)
+            from ..ops.ell import stack_ell
             self.n_colors = int(max((c.max() + 1) if c.size else 1 for c in color_parts))
             inv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
             P = len(A.blocks)
@@ -492,6 +501,42 @@ class GaussSeidel:
                 )
             return PVector(xo, x.ghost, x.layout, backend)
 
+        if self.slot_gs is not None:
+            sgs = self.slot_gs
+            dir_one = {
+                "forward": ("f",), "backward": ("b",), "symmetric": ("f", "b")
+            }[self.sweep]
+            dir_seq = dir_one * self.iterations
+            zero_guess = getattr(x, "_zero_guess", False)
+            key = ("gs_slot", sgs, dir_seq, zero_guess, has_cg)
+            if has_cg:
+                def make_f():
+                    def f(xo, xg, cplan, oh, arrs, bo):
+                        g = cplan.apply(xo, xg, "set")
+                        gc = oh.spmv(g)
+                        xo2 = sgs.sweeps(
+                            None if zero_guess else xo, bo - gc, arrs,
+                            dir_seq,
+                        )
+                        return xo2, g
+
+                    return f
+
+                xo, xg = backend.spmd_cached(key, make_f)(
+                    xo, xg, clay.consistent_plan, dev.oh, sgs.arrs, b.own
+                )
+            else:
+                def make_f():
+                    def f(xo, arrs, bo):
+                        return sgs.sweeps(
+                            None if zero_guess else xo, bo, arrs, dir_seq
+                        )
+
+                    return f
+
+                xo = backend.spmd_cached(key, make_f)(xo, sgs.arrs, b.own)
+            return PVector(xo, x.ghost, x.layout, backend)
+
         for _ in range(self.iterations):
             for order in orders:
                 key = ("gs_sorted", self, tuple(order), has_cg)
@@ -588,9 +633,13 @@ def additive_schwarz(A: PSparseMatrix, local_solver: Optional[Callable] = None) 
 
 
 _register_identity_pytree(JacobiCorrection, ("inv_diag",))
-_register_identity_pytree(GaussSeidel, ("A", "colors", "inv_diag", "diag", "colored"))
+_register_identity_pytree(
+    GaussSeidel, ("A", "colors", "inv_diag", "diag", "colored", "slot_gs")
+)
 _register_identity_pytree(AdditiveSchwarz, ("A", "lu", "piv"))
 
 from .gs_dia import ColoredDIAGS as _ColoredDIAGS  # noqa: E402
+from .gs_slot import NaturalTileGS as _NaturalTileGS  # noqa: E402
 
 _register_identity_pytree(_ColoredDIAGS, ("vals_d", "invd_d"))
+_register_identity_pytree(_NaturalTileGS, ("arrs",))
