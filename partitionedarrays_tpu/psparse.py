@@ -983,6 +983,19 @@ def spmv(
         dev = A.device()
     clay = x.layout
     rlay = A.row_layout()
+    if clay is not A.col_layout() and clay is rlay:
+        # x arrived on the ROW layout (e.g. a solver's returned iterate for
+        # a square operator with matching own partitions): silently using
+        # its (ghost-free) layout would DROP every own_ghost contribution.
+        # Re-home to the column layout — own values are shared, ghost slots
+        # are refilled by the consistent exchange below.
+        clay = A.col_layout()
+        x = PVector(
+            x.own,
+            jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=x.own.dtype),
+            clay,
+            x.backend,
+        )
     backend = A.backend
     has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
     has_y = y is not None

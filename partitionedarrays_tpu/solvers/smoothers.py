@@ -167,8 +167,6 @@ class GaussSeidel:
                     # live on device, so the de-interleave reshuffle runs as
                     # one XLA program — no host materialization, no second
                     # H2D copy (critical over a tunneled TPU at HPCG scales)
-                    import jax.numpy as jnp
-
                     k0 = offs.index(0) if 0 in offs else None
                     diag_dev = (
                         dev_oo.vals[:, k0, :]

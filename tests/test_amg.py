@@ -213,3 +213,34 @@ def test_spectral_radius_power_method(backend4):
     exact = (2 - 2 * np.cos(np.pi * n / (n + 1))) / 2.0
     rho = spectral_radius(A, Dinv, iters=60)
     assert abs(rho - exact) / exact < 0.05
+
+
+def test_large_coarse_space_uses_lu_apply(backend4):
+    """Coarse spaces above 512 dofs keep backward-stable LU application
+    instead of a replicated explicit inverse (VERDICT r2 item #5; the
+    reference keeps a sparse LU on one rank, amg.jl:523-542)."""
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.pvector import pones
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+    from partitionedarrays_tpu.solvers.krylov import cg
+
+    I, J, V, rows, cols = laplacian_fdm((26, 26, 26), (2, 2, 1), dtype=np.float32)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend4, assembled=True)
+    # force a large coarse space: stop coarsening immediately below 2000
+    M = AMGPreconditioner(A, AMGParams(coarse_size=2000, max_levels=2))
+    assert M.coarse_kind == "lu"
+    assert M.levels[-1].A.shape[0] > 512
+    b = pones(A.row_prange, backend4, dtype=np.float32)
+    x, info = cg(A, b, M=M, rtol=1e-6, maxiter=60)
+    from partitionedarrays_tpu.pvector import pdot
+    import numpy as _np
+
+    nb = float(_np.sqrt(_np.asarray(pdot(b, b)).max()))
+    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.pvector import axpy
+
+    r = axpy(-1.0, spmv(A, x), b)
+    assert float(_np.sqrt(_np.asarray(pdot(r, r)).max())) / nb < 1e-5
