@@ -184,6 +184,7 @@ from .psparse import (
     rap,
     renumber_matrix,
     repartition_matrix,
+    repartition_system,
     sparse_diag_matrix,
     split_format,
     split_matrix,

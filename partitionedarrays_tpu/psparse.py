@@ -1298,6 +1298,28 @@ def repartition_matrix(
     )
 
 
+def repartition_system(
+    A: PSparseMatrix,
+    b: Optional["PVector"] = None,
+    new_rows=None,
+    new_cols=None,
+    backend: Optional[Backend] = None,
+):
+    """Joint matrix(+vector) repartition (parity: the two-argument
+    repartition form, src/p_sparse_matrix.jl:2371-2461): returns the
+    matrix — and, when ``b`` is given, the rhs moved onto the SAME new
+    row partition — as ``A2`` or ``(A2, b2)``."""
+    from .pvector import repartition as repartition_vector
+
+    new_rows = as_prange(new_rows if new_rows is not None else A.row_prange)
+    new_cols = as_prange(new_cols if new_cols is not None else new_rows)
+    A2 = repartition_matrix(A, new_rows, new_cols, backend)
+    if b is None:
+        return A2
+    b2 = repartition_vector(b, A2.row_prange, backend or A.backend)
+    return A2, b2
+
+
 def split_format(A: PSparseMatrix) -> PSparseMatrix:
     """Parity: split_format (src/p_sparse_matrix.jl:1097-1114) — storage
     here is always split; returns A."""

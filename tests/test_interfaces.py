@@ -279,3 +279,82 @@ def test_ptimer():
     st = t.statistics()
     assert st["a"]["calls"] == 2
     assert "a" in repr(t)
+
+
+# -- primitives payload parity (VERDICT r2 #10) -----------------------------
+
+class _NonIsBits:
+    """Analogue of the reference's NonIsBitsType (a heap-allocated payload;
+    test/primitives_tests.jl:3-6)."""
+
+    def __init__(self, data):
+        self.data = list(data)
+
+    def __eq__(self, other):
+        return isinstance(other, _NonIsBits) and other.data == self.data
+
+
+def test_primitives_vector_payload_roundtrips():
+    """gather/scatter/multicast round trips of VECTOR payloads keep
+    values and container types (test/primitives_tests.jl:63-109)."""
+    from partitionedarrays_tpu.parallel.primitives import (
+        gather,
+        multicast,
+        scatter,
+    )
+
+    rank = [1, 2, 3, 4]
+    snd = [list(range(1, r + 1)) for r in rank]
+    rcv = gather(snd, destination=0)
+    snd2 = scatter(rcv, source=0)
+    assert [list(x) for x in snd2] == snd
+    assert type(snd2) is type(snd)
+    # multicast of a vector payload (:104-108): every part gets part 1's
+    # vector [1, 2]
+    rcvm = multicast(snd, source=1)
+    assert all(list(x) == [1, 2] for x in rcvm)
+
+
+def test_primitives_non_isbits_payload():
+    """gather + scatter of heap payloads (test/primitives_tests.jl:79-86)."""
+    from partitionedarrays_tpu.parallel.primitives import gather, scatter
+
+    snd = [_NonIsBits([2]) for _ in range(4)]
+    rcv = gather(snd, destination=0)
+    snd2 = scatter(rcv, source=0)
+    assert snd2 == snd
+
+
+def test_exchange_graph_reference_pattern():
+    """The exact 4-rank exchange of test/primitives_tests.jl:163-210
+    (0-based ranks here): graph construction from snd ids, discovery of
+    rcv ids, and the scalar exchange values."""
+    from partitionedarrays_tpu.parallel.primitives import (
+        ExchangeGraph,
+        exchange,
+        is_consistent,
+    )
+
+    # reference ranks 1..4 -> parts 0..3
+    rcv_ids = [[1, 2], [3], [0, 1], [0, 2]]
+    snd_ids = [[2, 3], [0, 2], [0, 3], [1]]
+    graph = ExchangeGraph(snd_ids, rcv_ids)
+    assert is_consistent(graph)
+    # discovery (ExchangeGraph(snd)) reproduces rcv
+    graph2 = ExchangeGraph(snd_ids)
+    assert [sorted(r) for r in graph2.rcv] == [sorted(r) for r in rcv_ids]
+    # payload: snd = map(i -> 10*i, snd_ids) — each message carries ten
+    # times its DESTINATION id, so receiver p sees [10*(p+1), ...]
+    snd = [[10 * (d + 1) for d in s] for p, s in enumerate(snd_ids)]
+    rcv = exchange(snd, graph).wait()
+    expected = {0: [10, 10], 1: [20], 2: [30, 30], 3: [40, 40]}
+    for p in range(4):
+        assert sorted(rcv[p]) == sorted(expected[p])
+    # vector payloads through the same graph
+    sndv = [
+        [np.arange(p + 1) for _ in s] for p, s in enumerate(snd_ids)
+    ]
+    rcvv = exchange(sndv, graph).wait()
+    for p in range(4):
+        got = sorted(len(v) for v in rcvv[p])
+        assert got == sorted(q + 1 for q in graph.rcv[p])

@@ -403,3 +403,41 @@ def test_setup_algebra_never_materializes_global(backend4, monkeypatch):
     repartition_matrix(A, pr2, pr2)
     identity_minus(A)
     rap(T, A, A)
+
+
+def test_repartition_system_joint(backend4):
+    """Joint matrix+vector repartition (parity: the two-argument
+    repartition form, src/p_sparse_matrix.jl:2371-2461): both land on the
+    SAME new row partition and the system is unchanged."""
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, psparse, repartition_system
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.parallel.p_range import variable_partition
+    from partitionedarrays_tpu.psparse import to_global_scipy
+    from partitionedarrays_tpu.pvector import pvector_from_own
+
+    I, J, V, rows, cols = laplacian_fdm((6, 6, 6), (2, 2, 1), dtype=np.float64)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend4, assembled=True)
+    rng = np.random.default_rng(0)
+    parts = A.row_prange.partition()
+    b_parts = [rng.standard_normal(li.n_own) for li in parts]
+    b = pvector_from_own(b_parts, A.row_prange, backend4)
+    n = A.shape[0]
+    # uneven new partition
+    sizes = [n // 2, n // 4, n // 8, n - n // 2 - n // 4 - n // 8]
+    new_rows = PRange(variable_partition(sizes))
+    A2, b2 = repartition_system(A, b, new_rows)
+    assert A2.row_prange is b2.layout.pr or (
+        [li.n_own for li in A2.row_prange.partition()]
+        == [li.n_own for li in b2.layout.pr.partition()]
+    )
+    G1 = to_global_scipy(A).toarray()
+    G2 = to_global_scipy(A2).toarray()
+    assert np.abs(G1 - G2).max() < 1e-12
+    bg = np.zeros(n)
+    for p, li in enumerate(A.row_prange.partition()):
+        bg[li.own_to_global] = b_parts[p]
+    for p, li in enumerate(b2.layout.pr.partition()):
+        got = np.asarray(b2.own)[p, : li.n_own]
+        assert np.abs(got - bg[li.own_to_global]).max() < 1e-12
