@@ -179,6 +179,7 @@ from .psparse import (
     psparse,
     psparse_from_blocks,
     psparse_from_global,
+    psparse_local,
     psparse_refill,
     psystem,
     rap,

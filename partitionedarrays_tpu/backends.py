@@ -72,15 +72,35 @@ class Backend:
         return fn
 
     def shard(self, tree):
-        """Place stacked arrays on the backend's devices (no-op on serial)."""
-        return tree
+        """Place stacked arrays on the backend's devices (no-op on serial;
+        lazy per-part providers — see MeshBackend.shard — are materialized
+        in full here)."""
+        return jax.tree.map(_resolve_provider, tree)
 
     def axis_name(self) -> str:
         return AXIS
 
 
+def _resolve_provider(x):
+    """Materialize the lazy per-part provider protocol eagerly (single
+    process: every part is local anyway)."""
+    if not callable(x):
+        return x
+    shape, dtype, provider = x()
+    P = shape[0]
+    out = np.empty(shape, dtype=dtype)
+    for p in range(P):
+        idx = (slice(p, p + 1),) + tuple(slice(None) for _ in shape[1:])
+        out[p] = np.asarray(provider(idx), dtype=dtype)[0]
+    return jnp.asarray(out)
+
+
 class SerialBackend(Backend):
     kind = "serial"
+
+    def local_parts(self):
+        """All parts live in this (single) process."""
+        return list(range(self.n_parts))
 
     def __init__(self, n_parts: int):
         self.n_parts = int(n_parts)
@@ -176,7 +196,9 @@ class MeshBackend(Backend):
     def shard(self, tree):
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
         if not self.is_multiprocess:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+            return jax.tree.map(
+                lambda x: jax.device_put(_resolve_provider(x), sharding), tree
+            )
 
         # multi-process: each process materializes ONLY its addressable
         # shards.  The callback receives the index of one shard; lazy

@@ -11,7 +11,7 @@ All indices 0-based; nodes linearized in C order.
 from __future__ import annotations
 
 from itertools import product as iproduct
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -125,6 +125,7 @@ def laplacian_fem(
     nodes_per_dir: Sequence[int],
     parts_per_dir: Sequence[int],
     dtype=np.float64,
+    parts: Optional[Sequence[int]] = None,
 ):
     """Q1 FEM Laplacian on the unit cube with ``nodes_per_dir`` FREE
     (interior) nodes; assembly loops over OWNED CELLS, so parts contribute
@@ -132,41 +133,68 @@ def laplacian_fem(
     ``assemble`` (parity: laplacian_fem, src/gallery.jl:110-251).
 
     Returns (I, J, V, row_partition, col_partition).
+
+    ``parts``: optional part ids to materialize (per-process construction,
+    the analogue of the reference's per-rank ``f``, src/mpi_array.jl:42-53):
+    triplets are generated ONLY for the listed parts (the rest are None),
+    so a process's peak triplet memory is O(its own cells).
     """
     nodes = tuple(int(n) for n in nodes_per_dir)
-    parts = tuple(int(p) for p in parts_per_dir)
+    parts_pd = tuple(int(p) for p in parts_per_dir)
     D = len(nodes)
     cells = tuple(n + 1 for n in nodes)
     h = np.array([1.0 / (n + 1) for n in nodes], dtype=dtype)
     Aref = _q1_reference_stiffness(h, dtype)
-    node_partition = uniform_partition(parts, nodes)
-    cell_partition = uniform_partition(parts, cells)
+    node_partition = uniform_partition(parts_pd, nodes)
+    cell_partition = uniform_partition(parts_pd, cells)
     local_nodes = list(iproduct(*[range(2)] * D))  # offsets of the 2^D corners
     n_loc = len(local_nodes)
+    if parts is not None:
+        wanted = set(int(p) for p in parts)
+        Is, Js, Vs = (
+            [None] * len(cell_partition),
+            [None] * len(cell_partition),
+            [None] * len(cell_partition),
+        )
+        for p in wanted:
+            I, J, V = _fem_part_triplets(
+                cell_partition[p], cells, nodes, local_nodes, Aref, dtype, D
+            )
+            Is[p], Js[p], Vs[p] = I, J, V
+        return Is, Js, Vs, node_partition, node_partition
     Is, Js, Vs = [], [], []
     for li in cell_partition:
-        own_cells = li.own_to_global
-        ccs = np.stack(_coords(own_cells, cells), axis=1)  # [ncell, D]
-        # global node id (or -1 if boundary) of each cell corner
-        corner = np.empty((own_cells.size, n_loc), dtype=INT)
-        for a, off in enumerate(local_nodes):
-            nc = ccs + np.array(off) - 1  # node coords = cell + local - 1
-            valid = np.all((nc >= 0) & (nc < np.array(nodes)), axis=1)
-            idx = np.ravel_multi_index(
-                tuple(np.clip(nc[:, d], 0, nodes[d] - 1) for d in range(D)), nodes
-            )
-            corner[:, a] = np.where(valid, idx, -1)
-        I, J, V = [], [], []
-        for a in range(n_loc):
-            for b in range(n_loc):
-                m = (corner[:, a] >= 0) & (corner[:, b] >= 0)
-                I.append(corner[m, a])
-                J.append(corner[m, b])
-                V.append(np.full(int(m.sum()), Aref[a, b], dtype=dtype))
-        Is.append(np.concatenate(I))
-        Js.append(np.concatenate(J))
-        Vs.append(np.concatenate(V))
+        I, J, V = _fem_part_triplets(
+            li, cells, nodes, local_nodes, Aref, dtype, D
+        )
+        Is.append(I)
+        Js.append(J)
+        Vs.append(V)
     return Is, Js, Vs, node_partition, node_partition
+
+
+def _fem_part_triplets(li, cells, nodes, local_nodes, Aref, dtype, D):
+    """Triplets contributed by ONE part's owned cells."""
+    n_loc = len(local_nodes)
+    own_cells = li.own_to_global
+    ccs = np.stack(_coords(own_cells, cells), axis=1)  # [ncell, D]
+    # global node id (or -1 if boundary) of each cell corner
+    corner = np.empty((own_cells.size, n_loc), dtype=INT)
+    for a, off in enumerate(local_nodes):
+        nc = ccs + np.array(off) - 1  # node coords = cell + local - 1
+        valid = np.all((nc >= 0) & (nc < np.array(nodes)), axis=1)
+        idx = np.ravel_multi_index(
+            tuple(np.clip(nc[:, d], 0, nodes[d] - 1) for d in range(D)), nodes
+        )
+        corner[:, a] = np.where(valid, idx, -1)
+    I, J, V = [], [], []
+    for a in range(n_loc):
+        for b in range(n_loc):
+            m = (corner[:, a] >= 0) & (corner[:, b] >= 0)
+            I.append(corner[m, a])
+            J.append(corner[m, b])
+            V.append(np.full(int(m.sum()), Aref[a, b], dtype=dtype))
+    return np.concatenate(I), np.concatenate(J), np.concatenate(V)
 
 
 def node_coordinates_unit_cube(

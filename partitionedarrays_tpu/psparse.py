@@ -214,6 +214,9 @@ class PSparseMatrix:
 
     def device(self) -> DeviceSpMat:
         if self._device is None:
+            if getattr(self, "_local_only", False):
+                self._device = _freeze_local_ell(self)
+                return self._device
             rlay = self.row_layout()
             clay = self.col_layout()
             no = rlay.n_own_pad
@@ -1296,6 +1299,221 @@ def repartition_matrix(
         I_parts, J_parts, V_parts, as_prange(new_rows), as_prange(new_cols),
         backend or A.backend, assembled=False, assemble=True, dtype=A.dtype,
     )
+
+
+def psparse_local(
+    I_parts: Sequence[Optional[np.ndarray]],
+    J_parts: Sequence[Optional[np.ndarray]],
+    V_parts: Sequence[Optional[np.ndarray]],
+    rows,
+    cols,
+    backend: Backend,
+    dtype=None,
+) -> PSparseMatrix:
+    """PER-PROCESS disassembled COO constructor (multihost generic path,
+    round-2 VERDICT item #3; parity: the reference's per-rank construction,
+    src/mpi_array.jl:42-53 + assemble_coo!, src/p_sparse_matrix.jl:213-289).
+
+    Each process supplies triplets ONLY for ``backend.local_parts()``
+    (other entries None).  The off-owner row shuffle is a REAL
+    cross-process exchange — one padded device all_to_all over the parts
+    mesh axis per triplet field — so peak per-process triplet memory is
+    O(local nnz + exchanged halo), never O(global).  Partition METADATA
+    (ghost id lists, O(surface)) is then allgathered so every process
+    holds identical PRanges and exchange plans; non-local parts keep empty
+    placeholder blocks and the device freeze materializes only local
+    shards through MeshBackend.shard's lazy providers.
+
+    Result is an assembled PSparseMatrix with ``_local_only=True``
+    (``to_global_scipy``/centralize unavailable)."""
+    import jax.experimental.multihost_utils as mhu
+
+    rows_pr = as_prange(rows)
+    cols_pr = as_prange(cols)
+    P = rows_pr.n_parts
+    local = list(backend.local_parts())
+    if dtype is None:
+        dtype = np.asarray(V_parts[local[0]]).dtype
+    row_parts = rows_pr.partition()
+
+    # -- 1. bucket local triplets by owner part ------------------------
+    sorted_local = {}
+    counts = np.zeros((P, P), np.int64)
+    for p in local:
+        I = np.asarray(I_parts[p], dtype=INT)
+        J = np.asarray(J_parts[p], dtype=INT)
+        V = np.asarray(V_parts[p], dtype=dtype)
+        full = [np.zeros(0, dtype=INT)] * P
+        full[p] = I
+        o = np.asarray(find_owner(row_parts, full)[p], dtype=INT)
+        ordr = np.argsort(o, kind="stable")
+        so = o[ordr]
+        bounds = np.searchsorted(so, np.arange(P + 1))
+        sorted_local[p] = (I[ordr], J[ordr], V[ordr], bounds)
+        counts[p] = np.diff(bounds)
+
+    # -- 2. agree on counts (tiny metadata allgather) ------------------
+    counts = np.asarray(mhu.process_allgather(counts)).sum(0)
+    maxc = max(int(counts.max()), 1)
+
+    # -- 3. one padded device all_to_all per field ---------------------
+    fdt = np.float64 if np.dtype(dtype).itemsize > 4 else np.float32
+    import jax
+
+    def make_buf(field, fill_dtype):
+        def thunk():
+            def provider(idx):
+                p = idx[0].start if idx[0].start is not None else 0
+                buf = np.zeros((1, P, maxc), dtype=fill_dtype)
+                if p in sorted_local:
+                    sI, sJ, sV, bounds = sorted_local[p]
+                    src = (sI, sJ, sV)[field]
+                    for d in range(P):
+                        seg = src[bounds[d] : bounds[d + 1]]
+                        buf[0, d, : seg.size] = seg
+                return buf
+
+            return (P, P, maxc), fill_dtype, provider
+
+        return thunk
+
+    bi = backend.shard(make_buf(0, np.int32))
+    bj = backend.shard(make_buf(1, np.int32))
+    bv = backend.shard(make_buf(2, fdt))
+    ax = backend.axis_name()
+    shuffle = backend.spmd_cached(
+        ("psparse_local_a2a", P, maxc, str(fdt)),
+        lambda: (
+            lambda a, b, c: (
+                jax.lax.all_to_all(a, ax, 0, 0),
+                jax.lax.all_to_all(b, ax, 0, 0),
+                jax.lax.all_to_all(c, ax, 0, 0),
+            )
+        ),
+    )
+    ri, rj, rv = shuffle(bi, bj, bv)
+
+    def local_shards(arr):
+        out = {}
+        for sh in arr.addressable_shards:
+            data = np.asarray(sh.data)
+            start = sh.index[0].start if sh.index[0].start is not None else 0
+            for k in range(data.shape[0]):  # a shard may span several parts
+                out[start + k] = data[k]
+        return out
+
+    ri_h, rj_h, rv_h = local_shards(ri), local_shards(rj), local_shards(rv)
+
+    # -- 4. build local blocks -----------------------------------------
+    blocks_local, ghost_meta = {}, {}
+    for p in local:
+        segs_i = [ri_h[p][s, : counts[s, p]] for s in range(P)]
+        segs_j = [rj_h[p][s, : counts[s, p]] for s in range(P)]
+        segs_v = [rv_h[p][s, : counts[s, p]] for s in range(P)]
+        I = np.concatenate(segs_i).astype(INT)
+        J = np.concatenate(segs_j).astype(INT)
+        V = np.concatenate(segs_v).astype(dtype)
+        blocks, li_r2, li_c2, _ = _build_part_blocks(
+            row_parts[p], cols_pr[p], I, J, V, False, dtype
+        )
+        blocks_local[p] = blocks
+        ghost_meta[p] = (li_c2.ghost_to_global, li_c2.ghost_to_owner)
+
+    # -- 5. sync column-ghost metadata (O(surface)) --------------------
+    ng_local = np.zeros((P,), np.int64)
+    for p, (g, _) in ghost_meta.items():
+        ng_local[p] = g.size
+    ng = np.asarray(mhu.process_allgather(ng_local)).sum(0)
+    gmax = max(int(ng.max()), 1)
+    gids = np.zeros((P, gmax), np.int64)
+    gown = np.zeros((P, gmax), np.int64)
+    for p, (g, o) in ghost_meta.items():
+        gids[p, : g.size] = g
+        gown[p, : o.size] = o
+    gids = np.asarray(mhu.process_allgather(gids)).sum(0)
+    gown = np.asarray(mhu.process_allgather(gown)).sum(0)
+
+    new_cols, all_blocks = [], []
+    for p in range(P):
+        g = gids[p, : ng[p]]
+        o = gown[p, : ng[p]]
+        if p in blocks_local:
+            li_c2 = cols_pr[p].union_ghost(*_sorted_ghosts(g, o)) if g.size else cols_pr[p]
+            # local parts rebuilt identically (union_ghost is deterministic)
+            all_blocks.append(blocks_local[p])
+        else:
+            li_c2 = cols_pr[p].union_ghost(*_sorted_ghosts(g, o)) if g.size else cols_pr[p]
+            n_own = row_parts[p].n_own
+            all_blocks.append(
+                {
+                    "oo": sp.csr_matrix((n_own, li_c2.n_own), dtype=dtype),
+                    "oh": sp.csr_matrix((n_own, li_c2.n_ghost), dtype=dtype),
+                }
+            )
+        new_cols.append(li_c2)
+
+    A = PSparseMatrix(
+        all_blocks, rows_pr, PRange(new_cols), backend, assembled=True
+    )
+    A._local_only = True
+    # freeze eagerly: the lazy-provider shard protocol
+    # (make_array_from_callback) cannot run under a jit trace, and setup
+    # is the natural place for the one-time local materialization anyway
+    A.device()
+    return A
+
+
+def _freeze_local_ell(A: PSparseMatrix) -> "DeviceSpMat":
+    """Device freeze for a ``_local_only`` matrix: padded-ELL dims are
+    agreed across processes (allgather-max of the local K), then each
+    process materializes ONLY its shards through the lazy provider
+    protocol of MeshBackend.shard."""
+    import jax.experimental.multihost_utils as mhu
+
+    from .ops.ell import OOB, csr_to_ell
+
+    rlay = A.row_layout()
+    clay = A.col_layout()
+    P = rlay.n_parts
+    local = set(A.backend.local_parts())
+    dims = np.zeros((2,), np.int64)
+    for p in local:
+        for k, name in enumerate(("oo", "oh")):
+            b = A.blocks[p][name]
+            nnz_row = np.diff(b.tocsr().indptr)
+            if nnz_row.size:
+                dims[k] = max(dims[k], int(nnz_row.max()))
+    dims = np.asarray(mhu.process_allgather(dims)).max(0)
+
+    def lazy(name, K, n_rows_pad, arr_kind):
+        def thunk():
+            def provider(idx):
+                p = idx[0].start if idx[0].start is not None else 0
+                if p in local:
+                    c, v = csr_to_ell(A.blocks[p][name], n_rows_pad, K)
+                else:  # never requested, but keep it total
+                    c = np.full((n_rows_pad, max(K, 1)), OOB, np.int32)
+                    v = np.zeros((n_rows_pad, max(K, 1)), A.dtype)
+                return (c if arr_kind == 0 else v)[None]
+
+            shape = (P, n_rows_pad, max(K, 1))
+            return shape, (np.int32 if arr_kind == 0 else np.dtype(A.dtype)), provider
+
+        return thunk
+
+    no = rlay.n_own_pad
+    shard = A.backend.shard
+    oo = DeviceBlock(
+        "ell", None, clay.n_own_pad,
+        shard(lazy("oo", int(dims[0]), no, 0)),
+        shard(lazy("oo", int(dims[0]), no, 1)),
+    )
+    oh = DeviceBlock(
+        "ell", None, max(clay.n_ghost_pad, 1),
+        shard(lazy("oh", int(dims[1]), no, 0)),
+        shard(lazy("oh", int(dims[1]), no, 1)),
+    )
+    return DeviceSpMat(oo, oh)
 
 
 def repartition_system(

@@ -44,6 +44,10 @@ def main():
         # src/mpi_array.jl:64-83, test/mpi_array/exception_tests.jl)
         raise RuntimeError("injected failure on rank 1")
 
+    if len(sys.argv) > 4 and sys.argv[4] == "fem":
+        _fem_local(backend, pid, local, P)
+        return
+
     # --- HPCG problem across all processes (stencil closed form)
     from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
     from partitionedarrays_tpu.solvers.krylov import cg
@@ -88,6 +92,71 @@ def main():
     if not ok:
         raise SystemExit(2)
     print(f"pid={pid} MULTIHOST OK parts={local} iters={iters}", flush=True)
+
+
+def _fem_local(backend, pid, local, P):
+    """Per-process FEM assembly (VERDICT r2 item #3): each process
+    materializes ONLY its parts' triplets (O(local) peak), the off-owner
+    row shuffle is a real cross-process all_to_all, and every shard of
+    A @ 1 is validated against the closed-form global product."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu import PRange
+    from partitionedarrays_tpu.models.gallery import laplacian_fem
+    from partitionedarrays_tpu.psparse import psparse_local, spmv
+    from partitionedarrays_tpu.pvector import pones
+
+    nodes = (9, 9)
+    I, J, V, rows, cols = laplacian_fem(
+        nodes, (P, 1), dtype=np.float32, parts=local
+    )
+    # O(local) proof, structural: only local parts were materialized...
+    for p in range(P):
+        if p in local:
+            assert I[p] is not None
+        else:
+            assert I[p] is None, "non-local triplets materialized!"
+    # ...and quantitative: this process's triplet count is a strict
+    # fraction of the global count (boundary-cell overlap only)
+    n_local_tri = sum(I[p].size for p in local)
+    n_cells_local = sum(
+        li.n_own
+        for q, li in enumerate(
+            __import__(
+                "partitionedarrays_tpu.parallel.p_range", fromlist=["uniform_partition"]
+            ).uniform_partition((P, 1), tuple(n + 1 for n in nodes))
+        )
+        if q in local
+    )
+    assert n_local_tri <= 16 * n_cells_local, "triplets not O(local cells)"
+
+    A = psparse_local(I, J, V, PRange(rows), PRange(cols), backend)
+    assert getattr(A, "_local_only", False)
+    x = pones(A.col_prange, backend, dtype=jnp.float32)
+    y = jax.jit(lambda A, x: spmv(A, x).own)(A, x)
+    y.block_until_ready()
+
+    # reference: the full FEM operator rebuilt serially for validation
+    # (test-only; the construction path above never does this)
+    import scipy.sparse as sp
+
+    If, Jf, Vf, _, _ = laplacian_fem(nodes, (1, 1), dtype=np.float32)
+    n = int(np.prod(nodes))
+    G = sp.csr_matrix((Vf[0], (If[0], Jf[0])), shape=(n, n))
+    ref = G @ np.ones(n)
+    ok = True
+    for sh in y.addressable_shards:
+        p = sh.index[0].start
+        li = A.row_prange.partition()[p]
+        got = np.asarray(sh.data)[0, : li.n_own]
+        err = np.abs(got - ref[li.own_to_global]).max()
+        if err > 1e-5:
+            print(f"pid={pid} part={p} FEM MISMATCH err={err}", flush=True)
+            ok = False
+    if not ok:
+        raise SystemExit(2)
+    print(f"pid={pid} MULTIHOST FEM OK parts={local}", flush=True)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,13 @@ def test_multihost_failure_propagates():
         + outs[0][-2000:]
     )
     assert not any("<TIMEOUT>" in o for o in outs), "a rank hung"
+
+
+def test_multihost_fem_local_construction():
+    """Per-process generic-path construction (VERDICT r2 #3): 2 processes,
+    FEM assembly where each process materializes only its parts' triplets
+    and the off-owner shuffle is a real cross-process all_to_all."""
+    codes, outs = _launch(2, 2, extra_args=("fem",))
+    for c, o in zip(codes, outs):
+        assert c == 0, f"rank failed:\n{o[-2000:]}"
+    assert all("MULTIHOST FEM OK" in o for o in outs)

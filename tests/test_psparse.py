@@ -441,3 +441,31 @@ def test_repartition_system_joint(backend4):
     for p, li in enumerate(b2.layout.pr.partition()):
         got = np.asarray(b2.own)[p, : li.n_own]
         assert np.abs(got - bg[li.own_to_global]).max() < 1e-12
+
+
+def test_psparse_local_matches_generic(backend4):
+    """psparse_local (the per-process constructor) must produce the same
+    assembled operator as the generic psparse on the disassembled FEM
+    input (single-process: local_parts() is all parts, the all_to_all
+    shuffle still runs for real)."""
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, psparse, psparse_local
+    from partitionedarrays_tpu.models.gallery import laplacian_fem
+    from partitionedarrays_tpu.psparse import spmv, to_global_scipy
+    from partitionedarrays_tpu.pvector import pones
+
+    I, J, V, rows, cols = laplacian_fem((7, 7), (4, 1), dtype=np.float32)
+    A_ref = psparse(I, J, V, PRange(rows), PRange(cols), backend4)
+    G = to_global_scipy(A_ref)
+
+    Il, Jl, Vl, rows2, cols2 = laplacian_fem(
+        (7, 7), (4, 1), dtype=np.float32, parts=backend4.local_parts()
+    )
+    A = psparse_local(Il, Jl, Vl, PRange(rows2), PRange(cols2), backend4)
+    x = pones(A.col_prange, backend4, dtype=np.float32)
+    y = spmv(A, x)
+    ref = G @ np.ones(A.shape[1])
+    for p, li in enumerate(A.row_prange.partition()):
+        got = np.asarray(y.own)[p, : li.n_own]
+        assert np.abs(got - ref[li.own_to_global]).max() < 1e-5
