@@ -160,6 +160,7 @@ from .pvector import (
     psum_reduce,
     pvector,
     pvector_from_local,
+    pvector_local,
     pvector_from_own,
     pvector_from_split_blocks,
     split_vector,

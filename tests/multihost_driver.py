@@ -154,6 +154,22 @@ def _fem_local(backend, pid, local, P):
         if err > 1e-5:
             print(f"pid={pid} part={p} FEM MISMATCH err={err}", flush=True)
             ok = False
+    # per-process rhs assembly: using the matrix triplets as vector
+    # contributions gives b_i = sum_j a_ij = (A @ 1)_i — so the
+    # pvector_local result must equal the validated SpMV above
+    from partitionedarrays_tpu.pvector import pvector_local
+
+    bvec = pvector_local(I, V, PRange(rows), backend, dtype=np.float32)
+    for sh_b, sh_y in zip(bvec.own.addressable_shards, y.addressable_shards):
+        p = sh_b.index[0].start
+        li = A.row_prange.partition()[p]
+        db = np.abs(
+            np.asarray(sh_b.data)[0, : li.n_own]
+            - np.asarray(sh_y.data)[0, : li.n_own]
+        ).max()
+        if db > 1e-5:
+            print(f"pid={pid} part={p} RHS MISMATCH err={db}", flush=True)
+            ok = False
     if not ok:
         raise SystemExit(2)
     print(f"pid={pid} MULTIHOST FEM OK parts={local}", flush=True)

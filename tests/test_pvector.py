@@ -202,3 +202,29 @@ def test_reference_exact_consistent_assemble(backend4):
     assert np.array_equal(
         collect(y), np.array([20.0, 20, 20, 20, 30, 10, 30, 20, 10, 30])
     )
+
+
+def test_pvector_local_matches_generic(backend4):
+    """pvector_local (the per-process rhs constructor) assembles the same
+    vector as the generic pvector on disassembled contributions."""
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, pvector, pvector_local
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+
+    n, P = 40, 4
+    rng = np.random.default_rng(0)
+    pr = PRange(uniform_partition(P, n))
+    I = [rng.integers(0, n, 25) for _ in range(P)]
+    V = [rng.standard_normal(25) for _ in range(P)]
+    ref = pvector(I, V, pr, backend4)
+    got = pvector_local(I, V, PRange(uniform_partition(P, n)), backend4)
+    exp = np.zeros(n)
+    for p in range(P):
+        np.add.at(exp, I[p], V[p])
+    for p, li in enumerate(got.layout.pr.partition()):
+        g = np.asarray(got.own)[p, : li.n_own]
+        assert np.abs(g - exp[li.own_to_global]).max() < 1e-10
+    for p, li in enumerate(ref.layout.pr.partition()):
+        r = np.asarray(ref.own)[p, : li.n_own]
+        assert np.abs(r - exp[li.own_to_global]).max() < 1e-10
