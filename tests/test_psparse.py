@@ -469,3 +469,33 @@ def test_psparse_local_matches_generic(backend4):
     for p, li in enumerate(A.row_prange.partition()):
         got = np.asarray(y.own)[p, : li.n_own]
         assert np.abs(got - ref[li.own_to_global]).max() < 1e-5
+
+
+def test_spmv_rehomes_row_layout_x(backend4):
+    """spmv(A, x) with x on the ROW layout of a square operator must
+    re-home it to the column layout (ghosts refilled by the exchange)
+    instead of silently dropping every own_ghost contribution — solver
+    iterates are returned on the row layout."""
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.psparse import spmv, to_global_scipy
+    from partitionedarrays_tpu.pvector import pvector_from_own
+
+    I, J, V, rows, cols = laplacian_fdm((6, 6, 6), (2, 2, 1), dtype=np.float64)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend4, assembled=True)
+    rng = np.random.default_rng(0)
+    parts = A.row_prange.partition()
+    x_parts = [rng.standard_normal(li.n_own) for li in parts]
+    # x on the ROW partition (no ghosts) — the solver-output layout
+    x = pvector_from_own(x_parts, A.row_prange, backend4)
+    y = spmv(A, x)
+    G = to_global_scipy(A)
+    xg = np.zeros(A.shape[1])
+    for p, li in enumerate(parts):
+        xg[li.own_to_global] = x_parts[p]
+    ref = G @ xg
+    for p, li in enumerate(parts):
+        got = np.asarray(y.own)[p, : li.n_own]
+        assert np.abs(got - ref[li.own_to_global]).max() < 1e-10
