@@ -238,8 +238,18 @@ def hpcg_benchmark(
         # compile time inside the timed region.  (The previous AOT
         # ``lower().compile()`` did not populate the jit cache and the
         # timed call recompiled — measured: rated GF/s collapsed 3x.)
+        # The window is CHUNKED into ~15 s device executions: a single
+        # 60 s execution occasionally trips the remote worker's watchdog
+        # ("TPU worker process crashed"); per-chunk dispatch latency
+        # (~10 ms each, a handful of chunks) is noise against the window.
+        chunk = max(timed_sets, int(np.ceil(15.0 / max(per_set, 1e-6))))
         t0w = time.perf_counter()
-        normsW = np.asarray(run_chain(A, mg, b, jnp.int32(n_sets)))
+        remaining = n_sets
+        normsW = None
+        while remaining > 0:
+            k = min(chunk, remaining)
+            normsW = np.asarray(run_chain(A, mg, b, jnp.int32(k)))
+            remaining -= k
         time_solve = time.perf_counter() - t0w
         assert np.allclose(norms1, normsW, rtol=1e-4)
         window = "executed"
