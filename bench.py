@@ -356,7 +356,7 @@ def hpcg_df64_rating():
         n_levels=4,
         iterations=50,
         ref_sets=1,
-        total_runtime=60.0,
+        total_runtime=120.0,
         precision="df64",
     )
     s = report.summary()

@@ -85,19 +85,31 @@ def hpcg_benchmark(
 
     if df64_mode:
         from ...ops import df64 as dfm
+        from ...ops.stencil import stencil_psparse, stencil_rhs_counts
         from ...psparse import device_df64
         from .cg import hpcg_cg_df64
-        from .problem import build_hpcg_problem
+        from .problem import STENCIL_27PT
 
-        # exact f64 operator/rhs via the generic host path (the structured
-        # generator builds values on device, which would need jax x64)
-        A, b64 = build_hpcg_problem(
-            local_shape, parts_per_dir, mg.backend, dtype=np.float64,
-            structured=False,
+        # exact f64 operator in CLOSED FORM, host blocks only (the device
+        # generator would truncate f64 values on f32 hardware; the generic
+        # triplet path costs minutes at benchmark scales) — device_df64
+        # splits the f64 host blocks into the (hi, lo) f32 pair
+        nxl, nyl, nzl = (int(v) for v in local_shape)
+        pxl, pyl, pzl = (int(v) for v in parts_per_dir)
+        gshape = (pxl * nxl, pyl * nyl, pzl * nzl)
+        A = stencil_psparse(
+            (pxl, pyl, pzl), gshape, STENCIL_27PT, mg.backend,
+            dtype=np.float64, host_only=True,
         )
         device_df64(A)  # freeze the (hi, lo) pair now: it is setup work
-        bh_np, bl_np = dfm.from_f64(np.asarray(b64.own))
-        lay = b64.layout
+        lay = A.row_layout()
+        offdiag = [d for d, _ in STENCIL_27PT if d != (0, 0, 0)]
+        b_host = np.zeros((lay.n_parts, lay.n_own_pad), np.float64)
+        for p, c in enumerate(
+            stencil_rhs_counts((pxl, pyl, pzl), gshape, offdiag)
+        ):
+            b_host[p, : c.size] = 26.0 - c
+        bh_np, bl_np = dfm.from_f64(b_host)
         zg = jnp.zeros((bh_np.shape[0], lay.n_ghost_pad), jnp.float32)
         b = (
             PVector(jnp.asarray(bh_np), zg, lay, mg.backend),

@@ -113,6 +113,7 @@ def stencil_psparse(
     backend,
     dtype=np.float64,
     with_host_blocks: bool = True,
+    host_only: bool = False,
 ):
     """Assembled PSparseMatrix of a constant-coefficient stencil operator.
 
@@ -123,6 +124,11 @@ def stencil_psparse(
     the own_own DIA diagonals generated ON DEVICE from per-axis masks (a
     few KB shipped instead of hundreds of MB per level at HPCG scales;
     the host scipy mirror becomes a lazy thunk).
+
+    ``host_only=True`` builds ONLY the host blocks (no device freeze):
+    the closed-form f64 source for the official-precision (df64) HPCG
+    configuration on f32-only devices, where jnp.asarray of f64 values
+    would truncate — device_df64 splits the f64 HOST blocks instead.
     """
     from ..psparse import PSparseMatrix, _sorted_ghosts, DeviceSpMat
     from ..ops.blocks import DeviceBlock, freeze_block, make_dia_block
@@ -225,6 +231,25 @@ def stencil_psparse(
     clay = _layout_cache(col_pr)
 
     # --- own_own DIA diagonals
+    if host_only:
+        with_host_blocks = True
+    if equal_boxes and host_only:
+        loc = part_loc[0]
+        R = int(np.prod(loc))
+        terms = _terms_for(loc)
+        all_offs = sorted(terms)
+        blocks = [
+            _LazyStencilBlocks(
+                oh_csrs[p],
+                (lambda loc=loc, ncc=col_partition[p].n_own: _host_dia_mirror(
+                    loc, ncc, all_offs, terms, dtype
+                )),
+            )
+            for p in range(P)
+        ]
+        A = PSparseMatrix(blocks, row_pr, col_pr, backend, assembled=True)
+        A._dtype_cache = np.dtype(dtype)
+        return A
     if equal_boxes:
         loc = part_loc[0]
         R = int(np.prod(loc))
@@ -355,7 +380,11 @@ def stencil_psparse(
             for k, o in enumerate(all_offs):
                 if o in diags:
                     vals[p, k, :R] = diags[o]
-        oo_dev = make_dia_block(tuple(all_offs), clay.n_own_pad, jnp.asarray(vals))
+        oo_dev = (
+            None
+            if host_only
+            else make_dia_block(tuple(all_offs), clay.n_own_pad, jnp.asarray(vals))
+        )
         blocks = []
         for p in range(P):
             R = int(np.prod(part_loc[p]))
@@ -384,10 +413,10 @@ def stencil_psparse(
         )
         oo_dia_host = (tuple(all_offs), vals)
 
-    oh_dev = freeze_block(oh_csrs, rlay.n_own_pad, max(clay.n_ghost_pad, 1))
-
     A = PSparseMatrix(blocks, row_pr, col_pr, backend, assembled=True)
-    A._device = backend.shard(DeviceSpMat(oo_dev, oh_dev, None, None))
+    if not host_only:
+        oh_dev = freeze_block(oh_csrs, rlay.n_own_pad, max(clay.n_ghost_pad, 1))
+        A._device = backend.shard(DeviceSpMat(oo_dev, oh_dev, None, None))
     A._oo_dia_host = oo_dia_host
     A._dtype_cache = np.dtype(dtype)
     A._nnz_cache = nnz_total
