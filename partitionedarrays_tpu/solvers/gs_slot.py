@@ -117,7 +117,7 @@ def _fused_sweep_pallas(
                 preferred_element_type=win.dtype,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (Q, 128)
-            g = jnp.take_along_axis(op, i_ref[0], axis=1)
+            g = jnp.take_along_axis(op, i_ref[0].astype(jnp.int32), axis=1)
             y = jnp.sum(g * v_ref[0], axis=0)  # off-tile row sums (128,)
             x_old = o_ref[pl.ds(t, 1), :]  # (1, 128)
             # old-x within-tile term: row i gets sum_j N[i,j] x_j; N is
