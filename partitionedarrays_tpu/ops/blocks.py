@@ -8,7 +8,7 @@ baked into the compiled program.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +16,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .dia import dia_spmv, dia_viable, stack_dia
-from .ell import ell_spmv, stack_ell
+from .ell import ell_spmv, stack_ell, stack_ell_values
 
 
 @jax.tree_util.register_pytree_node_class
@@ -179,6 +179,7 @@ def freeze_block(
     n_cols_pad: int,
     prefer_dia: bool = True,
     max_diags: int = 128,
+    cache: Optional[dict] = None,
 ) -> DeviceBlock:
     """Choose DIA when every part block is banded with a small common
     diagonal set AND the dense-diagonal storage does not exceed the ELL
@@ -205,23 +206,56 @@ def freeze_block(
                     n_cols_pad,
                     jnp.asarray(vals),
                 )
+    # refill fast path: at FIXED sparsity (psparse_refill mutates the same
+    # scipy objects' .data in place) reuse the cached slot plan and the
+    # device-resident structure arrays — only values re-plan + re-upload
+    sig = tuple((id(b), b.nnz) for b in csrs)
+    if cache is not None and cache.get("sig") == sig and "plan" in cache:
+        plan = cache["plan"]
+        cols_dev = cache["ell_cols"]
+        vals = stack_ell_values(csrs, n_rows_pad, cache["ell_K"])
+        if plan is None:
+            return DeviceBlock(
+                "ell", None, n_cols_pad, cols_dev, jnp.asarray(vals)
+            )
+        from .slot_spmv import refill_slot_vals
+
+        s_idx, _, s_srow, s_onehot, s_base = cache["slot_dev"]
+        slot = (
+            s_idx,
+            jnp.asarray(refill_slot_vals(plan, csrs)),
+            s_srow,
+            s_onehot,
+            s_base,
+        )
+        return DeviceBlock(
+            "ell", None, n_cols_pad, cols_dev, jnp.asarray(vals),
+            slot=slot, slot_meta=plan.meta,
+        )
     cols, vals = stack_ell(csrs, n_rows_pad)
-    slot, slot_meta = _freeze_slot(csrs, n_rows_pad, n_cols_pad)
+    cols_dev = jnp.asarray(cols)
+    slot, slot_meta, plan = _freeze_slot(csrs, n_rows_pad, n_cols_pad)
+    if cache is not None:
+        cache.clear()
+        cache.update(
+            sig=sig, plan=plan, ell_cols=cols_dev, ell_K=cols.shape[-1],
+            slot_dev=slot,
+        )
     return DeviceBlock(
-        "ell", None, n_cols_pad, jnp.asarray(cols), jnp.asarray(vals),
+        "ell", None, n_cols_pad, cols_dev, jnp.asarray(vals),
         slot=slot, slot_meta=slot_meta,
     )
 
 
 def _freeze_slot(csrs, n_rows_pad: int, n_cols_pad: int):
-    """Build the slot-format device arrays for an ELL block ((None, None)
-    when the planner declines).  The one-hot routing matrices are derived
-    on device once here — see ops/slot_spmv.slot_onehot."""
+    """Build the slot-format device arrays for an ELL block ((None, None,
+    None) when the planner declines).  The one-hot routing matrices are
+    derived on device once here — see ops/slot_spmv.slot_onehot."""
     from .slot_spmv import build_slot_plan, slot_onehot
 
     plan = build_slot_plan(csrs, n_rows_pad, n_cols_pad)
     if plan is None:
-        return None, None
+        return None, None, None
     srow = jnp.asarray(plan.srow)
     slot = (
         jnp.asarray(plan.idx),
@@ -230,7 +264,7 @@ def _freeze_slot(csrs, n_rows_pad: int, n_cols_pad: int):
         slot_onehot(srow, plan.meta.window, jnp.dtype(plan.vals.dtype)),
         jnp.asarray(plan.base),
     )
-    return slot, plan.meta
+    return slot, plan.meta, plan
 
 
 # -- df64 (two-float) block pairs -------------------------------------------

@@ -66,6 +66,27 @@ def stack_ell(
     return cols, vals
 
 
+def stack_ell_values(
+    blocks: Sequence[sp.spmatrix], n_rows_pad: int, K: int
+) -> np.ndarray:
+    """Values-only restack at FIXED sparsity (the refill fast path: the
+    column table is unchanged, so only the value planes are rebuilt)."""
+    csrs = [b.tocsr() for b in blocks]
+    vals = np.zeros(
+        (len(csrs), n_rows_pad, max(K, 1)),
+        dtype=csrs[0].dtype if csrs else np.float32,
+    )
+    for p, b in enumerate(csrs):
+        if b.nnz:
+            nnz_row = np.diff(b.indptr)
+            r = np.repeat(np.arange(b.shape[0]), nnz_row)
+            c = (np.arange(b.nnz) - np.repeat(b.indptr[:-1], nnz_row)).astype(
+                np.int64
+            )
+            vals[p, r, c] = b.data
+    return vals
+
+
 def ell_spmv(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """y[r] = sum_k vals[r,k] * x[cols[r,k]] — per-part SPMD kernel.
 

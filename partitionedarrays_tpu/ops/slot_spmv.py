@@ -297,6 +297,20 @@ def _slot_spmv_pallas(
     return run(idx, vals, onehot, base, x)
 
 
+def refill_slot_vals(plan: SlotPlan, blocks: Sequence[sp.spmatrix]) -> np.ndarray:
+    """New slot value planes at FIXED sparsity: scatter each part's CSR
+    data (sorted-indices order — the order ``fill`` was built in) into the
+    cached flat slot positions."""
+    csrs = [b.tocsr() for b in blocks]
+    for b in csrs:
+        b.sort_indices()
+    vals = np.zeros_like(plan.vals)
+    for p, (csr, flat) in enumerate(zip(csrs, plan.fill)):
+        if flat.size:
+            vals[p].reshape(-1)[flat] = csr.data
+    return vals
+
+
 def slot_spmv_ref(idx, vals, srow, base, x, meta: SlotMeta):
     """XLA twin of the slot kernel (per part; identical math, any
     backend) — the CPU-mesh / validation path."""

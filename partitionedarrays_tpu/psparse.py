@@ -221,8 +221,16 @@ class PSparseMatrix:
             clay = self.col_layout()
             no = rlay.n_own_pad
             ngc = max(clay.n_ghost_pad, 1)
-            oo = freeze_block([b["oo"] for b in self.blocks], no, clay.n_own_pad)
-            oh = freeze_block([b["oh"] for b in self.blocks], no, ngc)
+            if not hasattr(self, "_freeze_caches"):
+                self._freeze_caches = {}
+            oo = freeze_block(
+                [b["oo"] for b in self.blocks], no, clay.n_own_pad,
+                cache=self._freeze_caches.setdefault("oo", {}),
+            )
+            oh = freeze_block(
+                [b["oh"] for b in self.blocks], no, ngc,
+                cache=self._freeze_caches.setdefault("oh", {}),
+            )
             ho = hh = None
             if not self.assembled:
                 ng = max(rlay.n_ghost_pad, 1)

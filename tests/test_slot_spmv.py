@@ -167,3 +167,50 @@ def test_natural_tile_gs_matches_reference_sweep(backend4):
         x = spsolve_triangular(sp.tril(Ap).tocsr(), bp, lower=True)
         got = np.asarray(z.own)[p, : sizes[p]]
         assert np.abs(got - x).max() < 5e-4 * max(1, np.abs(x).max())
+
+
+def test_refill_reuses_slot_plan(backend4):
+    """psparse_refill + re-freeze at fixed sparsity must reuse the cached
+    slot plan (structure arrays identical objects) and produce the
+    refilled operator exactly."""
+    import jax
+    import numpy as np
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+    from partitionedarrays_tpu.psparse import psparse_refill, spmv
+    from partitionedarrays_tpu.pvector import pones
+
+    rng = np.random.default_rng(2)
+    n, P = 1000, 4
+    A0 = _random_banded(n, 300, 12, seed=7)
+    coo = A0.tocoo()
+    I = [coo.row[coo.row % P == p] for p in range(P)]  # scattered origins
+    J = [coo.col[coo.row % P == p] for p in range(P)]
+    V1 = [coo.data[coo.row % P == p].astype(np.float32) for p in range(P)]
+    rows = PRange(uniform_partition(P, n))
+    cols = PRange(uniform_partition(P, n))
+    A, cache = psparse(I, J, V1, rows, cols, backend4, reuse=True)
+    dev1 = A.device()
+    x = pones(A.col_prange, backend4, dtype=np.float32)
+    _ = spmv(A, x)
+    # refill with DIFFERENT values at the same sparsity
+    V2 = [2.5 * v + 1.0 for v in V1]
+    psparse_refill(A, V2, cache)
+    dev2 = A.device()
+    if dev1.oo.slot is not None:
+        assert dev2.oo.slot is not None
+        # the cached plan was reused (no re-planning on refill)
+        c = A._freeze_caches["oo"]
+        assert c.get("plan") is not None
+        assert np.array_equal(
+            np.asarray(dev2.oo.slot[0]), np.asarray(dev1.oo.slot[0])
+        )
+    y = spmv(A, x)
+    import scipy.sparse as sp2
+
+    G = sp2.csr_matrix((np.concatenate(V2), (np.concatenate(I), np.concatenate(J))), shape=(n, n))
+    ref = G @ np.ones(n)
+    for p, li in enumerate(A.row_prange.partition()):
+        got = np.asarray(y.own)[p, : li.n_own]
+        assert np.abs(got - ref[li.own_to_global]).max() < 1e-3
