@@ -181,7 +181,12 @@ def amg_cycle_bench():
     # latency jitter (tens of ms), so use a long chain
     dt = slope_time_per_iter(make_loop, (M, b.own), k_small=8, k_big=264)
     x, info = cg(A, b, M=M, rtol=1e-8, maxiter=100)
-    return dt, t_setup, int(info.iterations)
+    # re-coarsen at fixed sparsity (parity: amg_update!, amg.jl:925-942) —
+    # the Newton/ODE-loop workflow; aggregation is reused
+    t0 = time.perf_counter()
+    M.update(A)
+    t_update = time.perf_counter() - t0
+    return dt, t_setup, int(info.iterations), t_update
 
 
 def ell_bench():
@@ -326,8 +331,10 @@ def hpcg_rating():
         # official-style timed WINDOW (sets until the window elapses) so
         # the rated figure amortizes setup like the real benchmark run
         # protocol (HPCG/src/hpcg_benchmark.jl:81-88) instead of 3 sets
-        # (~0.5 s) drowning in setup time
-        total_runtime=60.0,
+        # (~0.5 s) drowning in setup time.  The official benchmark runs
+        # windows of >= 1800 s; 120 s keeps the bench driveable while
+        # amortizing most of the ~14 s setup+optimization overhead
+        total_runtime=120.0,
         dtype=np.float32,
         mg=_get_mg(),
         setup_time=_MG_SETUP_S,
@@ -376,10 +383,11 @@ def main():
     # everything after it (the dead worker persists for the process)
     stream = stream_bandwidth_gbs()
     try:
-        amg_dt, amg_setup, amg_iters = amg_cycle_bench()
+        amg_dt, amg_setup, amg_iters, amg_upd = amg_cycle_bench()
         amg_ms, amg_setup_s = round(amg_dt * 1e3, 3), round(amg_setup, 1)
+        amg_update_s = round(amg_upd, 2)
     except Exception:
-        amg_ms = amg_setup_s = amg_iters = None
+        amg_ms = amg_setup_s = amg_iters = amg_update_s = None
     try:
         (
             el_gbs, el_dt, el_gs_dt, el_rows, el_nnz, el_kind,
@@ -432,6 +440,7 @@ def main():
             "hpcg_final_relres": hpcg_res,
             "amg64_vcycle_ms": amg_ms,
             "amg64_setup_s": amg_setup_s,
+            "amg64_update_s": amg_update_s,
             "amg64_cg_iters_1e8": amg_iters,
             **df64,
             **ell,
