@@ -141,3 +141,23 @@ def test_hpcg_driver_df64_end_to_end(backend4):
     assert s["final_relres"] < 1e-9
     assert s["GFLOPs"]["rated"] > 0
     assert "PASSED" in report.to_txt()
+
+
+def test_hpcg_driver_executed_window(backend4):
+    """The total_runtime window path (chunked executed sets) must run and
+    report a consistent set count and rated figure."""
+    report = hpcg_benchmark(
+        backend4,
+        local_shape=(8, 8, 8),
+        parts_per_dir=(2, 2, 1),
+        n_levels=2,
+        iterations=8,
+        ref_sets=1,
+        timed_sets=2,
+        total_runtime=2.0,
+    )
+    s = report.summary()
+    assert s["phase3_window"] == "executed"
+    assert report.n_sets >= 2
+    assert s["GFLOPs"]["rated"] > 0
+    assert s["validation_passed"] is True
