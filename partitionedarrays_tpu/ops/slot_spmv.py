@@ -128,15 +128,36 @@ _MAX_X2D_VMEM = 8 * 1024 * 1024
 _MAX_Q = 4096
 
 
+def plan_dim_table(
+    blocks: Sequence[sp.spmatrix], n_rows_pad: int
+) -> np.ndarray:
+    """Per-rt (Q, S, max_base) dims over these blocks — the quantity a
+    multi-process build allgather-maxes to agree on a common slot layout
+    (psparse_local)."""
+    csrs = [b.tocsr() for b in blocks]
+    for b in csrs:
+        b.sort_indices()
+    out = np.zeros((5, 3), np.int64)
+    for k, rt in enumerate((128, 64, 32, 16, 8)):
+        dims = [_plan_dims(b, rt) for b in csrs]
+        out[k, 0] = max(d[0] for d in dims)
+        out[k, 1] = max(d[1] for d in dims)
+        out[k, 2] = max(int(d[2].max()) for d in dims)
+    return out
+
+
 def build_slot_plan(
     blocks: Sequence[sp.spmatrix], n_rows_pad: int, n_cols_pad: int,
     force_rt: Optional[int] = None,
+    force_dims: Optional[Tuple[int, int, int]] = None,
 ) -> Optional[SlotPlan]:
     """Plan the slot layout for per-part CSR blocks (common static shape
     across parts).  Returns None when the format is not viable (huge row
     span, pathological packing, tensor too large) — callers keep the
     plain ELL gather.  ``force_rt`` pins rows_per_tile (the fused GS
-    sweep kernel requires 128 so one tile is one x2d row)."""
+    sweep kernel requires 128 so one tile is one x2d row);
+    ``force_dims=(Q, S, s_total)`` pins the padded dims (cross-process
+    agreement in psparse_local — requires force_rt)."""
     csrs = [b.tocsr() for b in blocks]
     for b in csrs:
         b.sort_indices()
@@ -147,6 +168,9 @@ def build_slot_plan(
         dims = [_plan_dims(b, rt) for b in csrs]
         Q = max(d[0] for d in dims)
         S = max(d[1] for d in dims)
+        if force_dims is not None:
+            Q = max(Q, int(force_dims[0]))
+            S = max(S, int(force_dims[1]))
         # pad the tile count to a multiple of 8 so the kernel can batch
         # tiles per grid step (padding tiles are all-zero slots)
         n_tiles = _round_up(max(_round_up(n_rows_pad, rt) // rt, 1), 8)
@@ -162,6 +186,8 @@ def build_slot_plan(
     s_total = _round_up(
         max(s_total, int(max(d[2].max() for d in dims)) + S, 8), 8
     )
+    if force_dims is not None:
+        s_total = max(s_total, int(force_dims[2]))
     if s_total * 512 > _MAX_X2D_VMEM:
         return None
     P = len(csrs)

@@ -1511,10 +1511,12 @@ def _freeze_local_ell(A: PSparseMatrix) -> "DeviceSpMat":
 
     no = rlay.n_own_pad
     shard = A.backend.shard
+    slot, slot_meta = _freeze_local_slot(A, rlay, clay)
     oo = DeviceBlock(
         "ell", None, clay.n_own_pad,
         shard(lazy("oo", int(dims[0]), no, 0)),
         shard(lazy("oo", int(dims[0]), no, 1)),
+        slot=slot, slot_meta=slot_meta,
     )
     oh = DeviceBlock(
         "ell", None, max(clay.n_ghost_pad, 1),
@@ -1522,6 +1524,96 @@ def _freeze_local_ell(A: PSparseMatrix) -> "DeviceSpMat":
         shard(lazy("oh", int(dims[1]), no, 1)),
     )
     return DeviceSpMat(oo, oh)
+
+
+def _freeze_local_slot(A: PSparseMatrix, rlay, clay):
+    """Cross-process-AGREED slot freeze for the local-only own_own block:
+    every process allgather-maxes the per-rt dim table, deterministically
+    selects the same (rt, Q, S, s_total), plans its LOCAL parts with the
+    forced dims and materializes only its shards lazily.  Returns
+    (None, None) when the agreed layout is not viable (callers keep the
+    padded-ELL gather)."""
+    import jax.experimental.multihost_utils as mhu
+
+    from .ops.slot_spmv import (
+        _MAX_Q,
+        _MAX_SLOT_BYTES,
+        _MAX_WINDOW_ROWS,
+        _MAX_X2D_VMEM,
+        build_slot_plan,
+        plan_dim_table,
+    )
+
+    def _ru(x, m):
+        return ((x + m - 1) // m) * m if x > 0 else 0
+
+    P = rlay.n_parts
+    blocks = [b["oo"] for b in A.blocks]
+    tbl = plan_dim_table(blocks, rlay.n_own_pad)
+    tbl = np.asarray(mhu.process_allgather(tbl)).max(0)
+    best = None
+    for k, rt in enumerate((128, 64, 32, 16, 8)):
+        Q = max(int(tbl[k, 0]), 1)
+        S = max(int(tbl[k, 1]), 8)
+        mb = int(tbl[k, 2])
+        if S > _MAX_WINDOW_ROWS or Q > _MAX_Q:
+            continue
+        n_tiles = _ru(max(_ru(rlay.n_own_pad, rt) // rt, 1), 8)
+        cost = P * n_tiles * Q * 128 * 8
+        if cost > _MAX_SLOT_BYTES:
+            continue
+        s_total = _ru(max(_ru(clay.n_own_pad, 128) // 128, mb + S, 8), 8)
+        if s_total * 512 > _MAX_X2D_VMEM:
+            continue
+        if best is None or cost < best[0]:
+            best = (cost, rt, Q, S, s_total)
+    if best is None:
+        return None, None
+    _, rt, Q, S, s_total = best
+    plan = build_slot_plan(
+        blocks, rlay.n_own_pad, clay.n_own_pad,
+        force_rt=rt, force_dims=(Q, S, s_total),
+    )
+    if plan is None or plan.meta != plan.meta._replace(
+        n_slot_rows=Q, window=S, s_total=s_total
+    ):
+        return None, None
+
+    local = set(A.backend.local_parts())
+    meta = plan.meta
+
+    def lazy(arr, dtype):
+        def thunk():
+            def provider(idx):
+                p = idx[0].start if idx[0].start is not None else 0
+                return np.asarray(arr[p], dtype=dtype)[None]
+
+            return (P,) + arr.shape[1:], np.dtype(dtype), provider
+
+        return thunk
+
+    def lazy_onehot():
+        def thunk():
+            def provider(idx):
+                p = idx[0].start if idx[0].start is not None else 0
+                oh = (
+                    plan.srow[p][..., None] == np.arange(S, dtype=np.int32)
+                ).astype(A.dtype)
+                return oh[None]
+
+            return (P, meta.n_tiles, Q, S), np.dtype(A.dtype), provider
+
+        return thunk
+
+    shard = A.backend.shard
+    slot = (
+        shard(lazy(plan.idx, np.int8)),
+        shard(lazy(plan.vals, A.dtype)),
+        shard(lazy(plan.srow, np.int32)),
+        shard(lazy_onehot()),
+        shard(lazy(plan.base, np.int32)),
+    )
+    return slot, meta
 
 
 def repartition_system(

@@ -133,6 +133,8 @@ def _fem_local(backend, pid, local, P):
 
     A = psparse_local(I, J, V, PRange(rows), PRange(cols), backend)
     assert getattr(A, "_local_only", False)
+    # the cross-process-agreed slot freeze must be live for this operator
+    assert A.device().oo.slot is not None, "agreed slot freeze declined"
     x = pones(A.col_prange, backend, dtype=jnp.float32)
     y = jax.jit(lambda A, x: spmv(A, x).own)(A, x)
     y.block_until_ready()
