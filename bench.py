@@ -154,6 +154,13 @@ def amg_cycle_bench():
     from partitionedarrays_tpu.solvers.krylov import cg
 
     backend = MeshBackend(devices=jax.devices()[:1])
+    # warm the jitted setup builders (trace + compile-cache loads) on a
+    # tiny hierarchy first: the measured figure is then the real 64^3
+    # setup work, not python tracing — the analogue of excluding Julia's
+    # first-call JIT from the reference's timings
+    Iw, Jw, Vw, rw, cw = laplacian_fdm((12, 12, 12), (1, 1, 1), dtype=np.float32)
+    Aw = psparse(Iw, Jw, Vw, PRange(rw), PRange(cw), backend, assembled=True)
+    AMGPreconditioner(Aw, AMGParams(coarse_size=30, max_levels=2))
     I, J, V, rows, cols = laplacian_fdm((64, 64, 64), (1, 1, 1), dtype=np.float32)
     A = psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)
     t0 = time.perf_counter()
