@@ -310,15 +310,19 @@ def ell_bench():
     # the slot-format kernel (ops/slot_spmv) runs this in tens of us —
     # long chains so the difference dwarfs tunnel latency jitter
     dt_ell = slope_time_per_iter(make_ell, (dev2, x2.own), k_small=16, k_big=272)
-    # bytes actually streamed: the slot arrays when the slot kernel is
-    # active (the ELL cols/vals stay in HBM unread), else the ELL arrays
+    # bytes actually streamed per block: the slot arrays when the slot
+    # kernel is active (the ELL cols/vals stay in HBM unread); blocks
+    # WITHOUT a slot plan still stream their full ELL cols/vals
     if dev2.oo.slot is not None:
-        moved = sum(
-            int(np.prod(a.shape)) * a.dtype.itemsize
-            for blk in (dev2.oo, dev2.oh)
-            if blk.slot is not None
-            for a in blk.slot
-        )
+        moved = 0
+        for blk in (dev2.oo, dev2.oh):
+            if blk.slot is not None:
+                moved += sum(
+                    int(np.prod(a.shape)) * a.dtype.itemsize
+                    for a in blk.slot
+                )
+            else:
+                moved += blk.nbytes()
     else:
         moved = dev2.nbytes()
     ell_gbs = (moved + A2.shape[0] * 8) / dt_ell / 1e9

@@ -233,7 +233,11 @@ def hpcg_benchmark(
     upper = min(tNs) * n_sets / (1 + n_sets)
     if not (0.0 < time_solve <= upper):
         time_solve = upper
-    assert np.allclose(norms1, normsN, rtol=1e-4)
+    # chain-consistency is RECORDED, not asserted: numerical jitter over a
+    # long scale-chained window must not crash a rating run — same
+    # report-don't-crash semantics as the phase-2 validation (reference:
+    # HPCG/src/hpcg_benchmark.jl:59-88 reports failures in the output)
+    chain_consistent = bool(np.allclose(norms1, normsN, rtol=1e-4))
     window = "measured_sets"
     if total_runtime is not None:
         # official-style run WINDOW: a real benchmark run executes sets
@@ -254,7 +258,9 @@ def hpcg_benchmark(
         # 60 s execution occasionally trips the remote worker's watchdog
         # ("TPU worker process crashed"); per-chunk dispatch latency
         # (~10 ms each, a handful of chunks) is noise against the window.
-        chunk = max(timed_sets, int(np.ceil(15.0 / max(per_set, 1e-6))))
+        # No timed_sets floor: large local shapes / df64 push per_set far
+        # above 15 s / timed_sets and the floor would defeat the chunking.
+        chunk = max(1, int(np.ceil(15.0 / max(per_set, 1e-6))))
         t0w = time.perf_counter()
         remaining = n_sets
         normsW = None
@@ -263,8 +269,15 @@ def hpcg_benchmark(
             normsW = np.asarray(run_chain(A, mg, b, jnp.int32(k)))
             remaining -= k
         time_solve = time.perf_counter() - t0w
-        assert np.allclose(norms1, normsW, rtol=1e-4)
+        chain_consistent = chain_consistent and bool(
+            np.allclose(norms1, normsW, rtol=1e-4)
+        )
         window = "executed"
+    if not chain_consistent and verbose:
+        print(
+            "[hpcg] INVALID: chained-window residual history diverged from "
+            "the single-set run (rtol 1e-4) — figure not rateable"
+        )
 
     report = HPCGReport(
         nrow=A.shape[0],
@@ -290,6 +303,7 @@ def hpcg_benchmark(
                 49 if df64_mode else (53 if np.dtype(dtype) == np.float64 else 24)
             ),
             "validation_passed": validation_passed,
+            "chain_consistent": chain_consistent,
             "validation_tolerance": float(tolerance),
             "validation_achieved": float(opt_rel[-1]),
             "phase3_window": window,

@@ -237,9 +237,12 @@ def freeze_block(
     slot, slot_meta, plan = _freeze_slot(csrs, n_rows_pad, n_cols_pad)
     if cache is not None:
         cache.clear()
+        # refs keeps the keyed csr objects alive: id() in `sig` is only
+        # meaningful while the objects live (GC + id reuse could otherwise
+        # false-hit the cache with a stale structure plan)
         cache.update(
             sig=sig, plan=plan, ell_cols=cols_dev, ell_K=cols.shape[-1],
-            slot_dev=slot,
+            slot_dev=slot, refs=csrs,
         )
     return DeviceBlock(
         "ell", None, n_cols_pad, cols_dev, jnp.asarray(vals),

@@ -446,6 +446,9 @@ class AMGPreconditioner:
         self._setup(A, reuse_aggregates=False)
 
     def _setup(self, A: PSparseMatrix, reuse_aggregates: bool) -> None:
+        from ..psparse import _require_full_blocks
+
+        _require_full_blocks(A, "AMG setup")
         params = self.params
         self.levels: List[AMGLevel] = []
         current = A

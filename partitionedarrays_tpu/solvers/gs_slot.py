@@ -262,8 +262,8 @@ class NaturalTileGS:
 
         idx, vals, srow3, srow, base, dense_m, dense_n = arrs
         meta = self.meta
-        # dense factors are stacked (n_real_tiles, 2, ...) -> flat pairs
-        # [t*2] = fwd, [t*2+1] = bwd
+        # dense factors are concatenated [fwd block; bwd block] along the
+        # tile axis: [0:nt] = fwd factors, [nt:2nt] = bwd (see build())
         if config.pallas_enabled():
             torder, dsel = self._orders(dir_seq)
             xp = (

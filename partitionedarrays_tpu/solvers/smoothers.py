@@ -204,6 +204,13 @@ class GaussSeidel:
                 self.n_colors = self.colored.m
         self.slot_gs = None
         if self.colored is None:
+            if getattr(A, "_local_only", False):
+                # per-process matrix: the generic GS builders below plan
+                # from ALL parts' host blocks (placeholders for non-local
+                # parts) — shapes would diverge across processes
+                from ..psparse import _require_full_blocks
+
+                _require_full_blocks(A, "GaussSeidel (generic fallback)")
             diag_parts = [b["oo"].diagonal() for b in A.blocks]
             diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
             # general fallback, tier 1: natural-order tile GS on the slot
