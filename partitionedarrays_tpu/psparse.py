@@ -1350,23 +1350,30 @@ def psparse_local(
     backend: Backend,
     dtype=None,
 ) -> PSparseMatrix:
-    """PER-PROCESS disassembled COO constructor (multihost generic path,
-    round-2 VERDICT item #3; parity: the reference's per-rank construction,
-    src/mpi_array.jl:42-53 + assemble_coo!, src/p_sparse_matrix.jl:213-289).
+    """PER-PROCESS disassembled COO constructor (multihost generic path;
+    parity: the reference's per-rank construction, src/mpi_array.jl:42-53 +
+    assemble_coo!, src/p_sparse_matrix.jl:213-289).
 
     Each process supplies triplets ONLY for ``backend.local_parts()``
-    (other entries None).  The off-owner row shuffle is a REAL
-    cross-process exchange — one padded device all_to_all over the parts
-    mesh axis per triplet field — so peak per-process triplet memory is
-    O(local nnz + exchanged halo), never O(global).  Partition METADATA
-    (ghost id lists, O(surface)) is then allgathered so every process
-    holds identical PRanges and exchange plans; non-local parts keep empty
-    placeholder blocks and the device freeze materializes only local
-    shards through MeshBackend.shard's lazy providers.
+    (other entries None).  Only OFF-OWNER triplets whose owner part lives
+    on another process ride the wire — through edge-colored ppermute
+    rounds padded per round (parallel/host_exchange.py), so the wire cost
+    is O(exchanged halo) and peak per-process triplet memory is
+    O(local nnz); self-owned and process-local segments never leave the
+    host.  Partition METADATA (ghost id lists, O(surface)) is then
+    allgathered so every process holds identical PRanges and exchange
+    plans; non-local parts keep empty placeholder blocks and the device
+    freeze materializes only local shards through MeshBackend.shard's
+    lazy providers.
 
-    Result is an assembled PSparseMatrix with ``_local_only=True``
-    (``to_global_scipy``/centralize unavailable)."""
-    import jax.experimental.multihost_utils as mhu
+    Result is an assembled PSparseMatrix with ``_local_only=True`` —
+    host setup ops without a per-process implementation raise loudly
+    (see ``_require_full_blocks``).  The wire-cost stats of the shuffle
+    are left in ``backend._last_local_build_stats`` for tests."""
+    from .parallel.host_exchange import (
+        allgather_part_arrays,
+        exchange_part_messages,
+    )
 
     rows_pr = as_prange(rows)
     cols_pr = as_prange(cols)
@@ -1376,9 +1383,11 @@ def psparse_local(
         dtype = np.asarray(V_parts[local[0]]).dtype
     row_parts = rows_pr.partition()
 
-    # -- 1. bucket local triplets by owner part ------------------------
-    sorted_local = {}
-    counts = np.zeros((P, P), np.int64)
+    # -- 1. bucket local triplets by owner part; keep owner-local
+    #    segments out of the exchange entirely ---------------------------
+    local_set = set(local)
+    kept: dict = {}
+    msgs: dict = {}
     for p in local:
         I = np.asarray(I_parts[p], dtype=INT)
         J = np.asarray(J_parts[p], dtype=INT)
@@ -1388,101 +1397,66 @@ def psparse_local(
         o = np.asarray(find_owner(row_parts, full)[p], dtype=INT)
         ordr = np.argsort(o, kind="stable")
         so = o[ordr]
+        Is, Js, Vs = I[ordr], J[ordr], V[ordr]
         bounds = np.searchsorted(so, np.arange(P + 1))
-        sorted_local[p] = (I[ordr], J[ordr], V[ordr], bounds)
-        counts[p] = np.diff(bounds)
-
-    # -- 2. agree on counts (tiny metadata allgather) ------------------
-    counts = np.asarray(mhu.process_allgather(counts)).sum(0)
-    maxc = max(int(counts.max()), 1)
-
-    # -- 3. one padded device all_to_all per field ---------------------
-    fdt = np.float64 if np.dtype(dtype).itemsize > 4 else np.float32
-    import jax
-
-    def make_buf(field, fill_dtype):
-        def thunk():
-            def provider(idx):
-                p = idx[0].start if idx[0].start is not None else 0
-                buf = np.zeros((1, P, maxc), dtype=fill_dtype)
-                if p in sorted_local:
-                    sI, sJ, sV, bounds = sorted_local[p]
-                    src = (sI, sJ, sV)[field]
-                    for d in range(P):
-                        seg = src[bounds[d] : bounds[d + 1]]
-                        buf[0, d, : seg.size] = seg
-                return buf
-
-            return (P, P, maxc), fill_dtype, provider
-
-        return thunk
-
-    bi = backend.shard(make_buf(0, np.int32))
-    bj = backend.shard(make_buf(1, np.int32))
-    bv = backend.shard(make_buf(2, fdt))
-    ax = backend.axis_name()
-    shuffle = backend.spmd_cached(
-        ("psparse_local_a2a", P, maxc, str(fdt)),
-        lambda: (
-            lambda a, b, c: (
-                jax.lax.all_to_all(a, ax, 0, 0),
-                jax.lax.all_to_all(b, ax, 0, 0),
-                jax.lax.all_to_all(c, ax, 0, 0),
-            )
-        ),
+        for d in range(P):
+            lo, hi = bounds[d], bounds[d + 1]
+            if hi <= lo:
+                continue
+            seg = (Is[lo:hi], Js[lo:hi], Vs[lo:hi])
+            if d in local_set:
+                kept.setdefault(d, []).append(seg)
+            else:
+                msgs[(p, d)] = seg
+    stats: dict = {}
+    rcv = exchange_part_messages(
+        backend, P, msgs, (INT, INT, dtype), stats=stats
     )
-    ri, rj, rv = shuffle(bi, bj, bv)
+    backend._last_local_build_stats = stats
 
-    def local_shards(arr):
-        out = {}
-        for sh in arr.addressable_shards:
-            data = np.asarray(sh.data)
-            start = sh.index[0].start if sh.index[0].start is not None else 0
-            for k in range(data.shape[0]):  # a shard may span several parts
-                out[start + k] = data[k]
-        return out
-
-    ri_h, rj_h, rv_h = local_shards(ri), local_shards(rj), local_shards(rv)
-
-    # -- 4. build local blocks -----------------------------------------
+    # -- 2. build local blocks -------------------------------------------
     blocks_local, ghost_meta = {}, {}
+    z = np.zeros(0, dtype=INT)
     for p in local:
-        segs_i = [ri_h[p][s, : counts[s, p]] for s in range(P)]
-        segs_j = [rj_h[p][s, : counts[s, p]] for s in range(P)]
-        segs_v = [rv_h[p][s, : counts[s, p]] for s in range(P)]
-        I = np.concatenate(segs_i).astype(INT)
-        J = np.concatenate(segs_j).astype(INT)
-        V = np.concatenate(segs_v).astype(dtype)
+        chunks = kept.get(p, []) + [
+            rcv[k] for k in sorted(rcv) if k[1] == p
+        ]
+        I = np.concatenate([c[0] for c in chunks]) if chunks else z
+        J = np.concatenate([c[1] for c in chunks]) if chunks else z
+        V = (
+            np.concatenate([c[2] for c in chunks])
+            if chunks
+            else np.zeros(0, dtype=dtype)
+        )
         blocks, li_r2, li_c2, _ = _build_part_blocks(
-            row_parts[p], cols_pr[p], I, J, V, False, dtype
+            row_parts[p], cols_pr[p], I.astype(INT), J.astype(INT),
+            V.astype(dtype), False, dtype
         )
         blocks_local[p] = blocks
         ghost_meta[p] = (li_c2.ghost_to_global, li_c2.ghost_to_owner)
 
-    # -- 5. sync column-ghost metadata (O(surface)) --------------------
-    ng_local = np.zeros((P,), np.int64)
-    for p, (g, _) in ghost_meta.items():
-        ng_local[p] = g.size
-    ng = np.asarray(mhu.process_allgather(ng_local)).sum(0)
-    gmax = max(int(ng.max()), 1)
-    gids = np.zeros((P, gmax), np.int64)
-    gown = np.zeros((P, gmax), np.int64)
-    for p, (g, o) in ghost_meta.items():
-        gids[p, : g.size] = g
-        gown[p, : o.size] = o
-    gids = np.asarray(mhu.process_allgather(gids)).sum(0)
-    gown = np.asarray(mhu.process_allgather(gown)).sum(0)
+    # -- 3. sync column-ghost metadata (O(surface)) ----------------------
+    gids = allgather_part_arrays(
+        backend, P, {p: g for p, (g, _) in ghost_meta.items()}, INT,
+        stats=stats,
+    )
+    gown = allgather_part_arrays(
+        backend, P, {p: o for p, (_, o) in ghost_meta.items()}, INT,
+        stats=stats,
+    )
 
     new_cols, all_blocks = [], []
     for p in range(P):
-        g = gids[p, : ng[p]]
-        o = gown[p, : ng[p]]
+        g, o = gids[p], gown[p]
+        li_c2 = (
+            cols_pr[p].union_ghost(*_sorted_ghosts(g, o))
+            if g.size
+            else cols_pr[p]
+        )
         if p in blocks_local:
-            li_c2 = cols_pr[p].union_ghost(*_sorted_ghosts(g, o)) if g.size else cols_pr[p]
             # local parts rebuilt identically (union_ghost is deterministic)
             all_blocks.append(blocks_local[p])
         else:
-            li_c2 = cols_pr[p].union_ghost(*_sorted_ghosts(g, o)) if g.size else cols_pr[p]
             n_own = row_parts[p].n_own
             all_blocks.append(
                 {

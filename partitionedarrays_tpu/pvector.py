@@ -280,24 +280,25 @@ def pvector_local(
     src/p_vector.jl:887-985 built on one-item-per-rank arrays).
 
     Each process supplies (global id, value) contributions ONLY for
-    ``backend.local_parts()`` (other entries None); off-owner
-    contributions travel in one padded device all_to_all, so peak
-    per-process memory is O(local).  The result is assembled on the base
-    row partition (no ghosts)."""
-    import jax
-    import jax.experimental.multihost_utils as mhu
-
+    ``backend.local_parts()`` (other entries None); only off-owner
+    contributions whose owner lives on ANOTHER process ride the wire
+    (edge-colored ppermute rounds padded per round — see
+    parallel/host_exchange.py), so peak per-process memory is O(local)
+    and wire cost O(exchanged halo).  The result is assembled on the
+    base row partition (no ghosts)."""
+    from .parallel.host_exchange import exchange_part_messages
     from .parallel.p_range import INT, PRange as _PR, find_owner
 
     pr = rows if isinstance(rows, _PR) else _PR(list(rows))
     P = pr.n_parts
     parts = pr.partition()
     local = list(backend.local_parts())
+    local_set = set(local)
     if dtype is None:
         dtype = np.asarray(V_parts[local[0]]).dtype
 
-    sorted_local = {}
-    counts = np.zeros((P, P), np.int64)
+    kept: dict = {}
+    msgs: dict = {}
     for p in local:
         I = np.asarray(I_parts[p], dtype=INT)
         V = np.asarray(V_parts[p], dtype=dtype)
@@ -305,65 +306,29 @@ def pvector_local(
         full[p] = I
         o = np.asarray(find_owner(parts, full)[p], dtype=INT)
         ordr = np.argsort(o, kind="stable")
+        Is, Vs = I[ordr], V[ordr]
         bounds = np.searchsorted(o[ordr], np.arange(P + 1))
-        sorted_local[p] = (I[ordr], V[ordr], bounds)
-        counts[p] = np.diff(bounds)
-    counts = np.asarray(mhu.process_allgather(counts)).sum(0)
-    maxc = max(int(counts.max()), 1)
+        for d in range(P):
+            lo, hi = bounds[d], bounds[d + 1]
+            if hi <= lo:
+                continue
+            seg = (Is[lo:hi], Vs[lo:hi])
+            if d in local_set:
+                kept.setdefault(d, []).append(seg)
+            else:
+                msgs[(p, d)] = seg
+    rcv = exchange_part_messages(backend, P, msgs, (INT, dtype))
 
-    fdt = np.float64 if np.dtype(dtype).itemsize > 4 else np.float32
-
-    def make_buf(field, fill_dtype):
-        def thunk():
-            def provider(idx):
-                p = idx[0].start if idx[0].start is not None else 0
-                buf = np.zeros((1, P, maxc), dtype=fill_dtype)
-                if p in sorted_local:
-                    sI, sV, bounds = sorted_local[p]
-                    src = (sI, sV)[field]
-                    for d in range(P):
-                        seg = src[bounds[d] : bounds[d + 1]]
-                        buf[0, d, : seg.size] = seg
-                return buf
-
-            return (P, P, maxc), fill_dtype, provider
-
-        return thunk
-
-    bi = backend.shard(make_buf(0, np.int32))
-    bv = backend.shard(make_buf(1, fdt))
-    ax = backend.axis_name()
-    shuffle = backend.spmd_cached(
-        ("pvector_local_a2a", P, maxc, str(fdt)),
-        lambda: (
-            lambda a, b: (
-                jax.lax.all_to_all(a, ax, 0, 0),
-                jax.lax.all_to_all(b, ax, 0, 0),
-            )
-        ),
-    )
-    ri, rv = shuffle(bi, bv)
-
-    def local_shards(arr):
-        out = {}
-        for sh in arr.addressable_shards:
-            data = np.asarray(sh.data)
-            start = sh.index[0].start if sh.index[0].start is not None else 0
-            for k in range(data.shape[0]):
-                out[start + k] = data[k]
-        return out
-
-    ri_h, rv_h = local_shards(ri), local_shards(rv)
     lay = _layout_cache(pr)
     owns = {}
     for p in local:
         o = np.zeros(lay.n_own_pad, dtype=dtype)
         li = parts[p]
-        for s in range(P):
-            gid = ri_h[p][s, : counts[s, p]].astype(INT)
-            val = rv_h[p][s, : counts[s, p]].astype(dtype)
-            po = li.global_to_own(gid)
-            np.add.at(o, po, val)
+        for gid, val in kept.get(p, []) + [
+            rcv[k] for k in sorted(rcv) if k[1] == p
+        ]:
+            po = li.global_to_own(np.asarray(gid, dtype=INT))
+            np.add.at(o, po, np.asarray(val, dtype=dtype))
         owns[p] = o
 
     def own_thunk():

@@ -45,7 +45,15 @@ def main():
         raise RuntimeError("injected failure on rank 1")
 
     if len(sys.argv) > 4 and sys.argv[4] == "fem":
-        _fem_local(backend, pid, local, P)
+        # large enough that the O(surface) wire-byte bound is meaningful
+        _fem_local(backend, pid, local, P, nodes=(129, 129))
+        return
+
+    if len(sys.argv) > 4 and sys.argv[4] == "fem4":
+        # 4-process variant on a 2-D parts grid: asymmetric per-pair
+        # message sizes (edge vs corner neighbors) exercise the per-round
+        # padding and the agreed-dims logic at P_proc > 2
+        _fem_local(backend, pid, local, P, nodes=(31, 31), parts_grid=(4, 2))
         return
 
     # --- HPCG problem across all processes (stencil closed form)
@@ -94,11 +102,12 @@ def main():
     print(f"pid={pid} MULTIHOST OK parts={local} iters={iters}", flush=True)
 
 
-def _fem_local(backend, pid, local, P):
+def _fem_local(backend, pid, local, P, nodes=(9, 9), parts_grid=None):
     """Per-process FEM assembly (VERDICT r2 item #3): each process
     materializes ONLY its parts' triplets (O(local) peak), the off-owner
-    row shuffle is a real cross-process all_to_all, and every shard of
-    A @ 1 is validated against the closed-form global product."""
+    row shuffle rides edge-colored cross-process ppermute rounds with
+    per-round padding (O(surface) wire bytes, asserted below), and every
+    shard of A @ 1 is validated against the closed-form global product."""
     import jax
     import jax.numpy as jnp
 
@@ -107,9 +116,10 @@ def _fem_local(backend, pid, local, P):
     from partitionedarrays_tpu.psparse import psparse_local, spmv
     from partitionedarrays_tpu.pvector import pones
 
-    nodes = (9, 9)
+    if parts_grid is None:
+        parts_grid = (P, 1)
     I, J, V, rows, cols = laplacian_fem(
-        nodes, (P, 1), dtype=np.float32, parts=local
+        nodes, parts_grid, dtype=np.float32, parts=local
     )
     # O(local) proof, structural: only local parts were materialized...
     for p in range(P):
@@ -125,7 +135,7 @@ def _fem_local(backend, pid, local, P):
         for q, li in enumerate(
             __import__(
                 "partitionedarrays_tpu.parallel.p_range", fromlist=["uniform_partition"]
-            ).uniform_partition((P, 1), tuple(n + 1 for n in nodes))
+            ).uniform_partition(parts_grid, tuple(n + 1 for n in nodes))
         )
         if q in local
     )
@@ -135,6 +145,21 @@ def _fem_local(backend, pid, local, P):
     assert getattr(A, "_local_only", False)
     # the cross-process-agreed slot freeze must be live for this operator
     assert A.device().oo.slot is not None, "agreed slot freeze declined"
+    # wire cost of the off-owner shuffle is O(surface), NOT O(local nnz):
+    # self/process-local segments never ride the wire, rounds pad to the
+    # round max (round-3 VERDICT items #2/#9)
+    st = dict(backend._last_local_build_stats)
+    assert st["cross_msgs"] > 0, "expected cross-process triplet messages"
+    local_tri_bytes = n_local_tri * 12  # i32 row + i32 col + f32 val
+    frac = st["wire_bytes"] / local_tri_bytes
+    print(
+        f"pid={pid} shuffle wire_bytes={st['wire_bytes']} "
+        f"({100 * frac:.1f}% of local triplet bytes, "
+        f"{st['n_rounds']} rounds, {st['cross_msgs']} cross msgs)",
+        flush=True,
+    )
+    if min(nodes) >= 65:
+        assert frac < 0.10, f"wire bytes not O(surface): {frac:.2%}"
     x = pones(A.col_prange, backend, dtype=jnp.float32)
     y = jax.jit(lambda A, x: spmv(A, x).own)(A, x)
     y.block_until_ready()

@@ -85,8 +85,20 @@ def test_multihost_failure_propagates():
 def test_multihost_fem_local_construction():
     """Per-process generic-path construction (VERDICT r2 #3): 2 processes,
     FEM assembly where each process materializes only its parts' triplets
-    and the off-owner shuffle is a real cross-process all_to_all."""
+    and the off-owner shuffle rides cross-process ppermute rounds.  The
+    driver asserts the shuffle's wire bytes are O(surface) (< 10% of the
+    local triplet bytes at this size) — round-3 VERDICT items #2/#9."""
     codes, outs = _launch(2, 2, extra_args=("fem",))
+    for c, o in zip(codes, outs):
+        assert c == 0, f"rank failed:\n{o[-2000:]}"
+    assert all("MULTIHOST FEM OK" in o for o in outs)
+
+
+def test_multihost_fem_four_processes():
+    """4 processes x 2 devices = 8 parts on a (4, 2) parts grid: per-pair
+    message-size asymmetry (edge vs corner neighbors) and agreed-dims
+    logic at P_proc > 2 (round-3 VERDICT item #10)."""
+    codes, outs = _launch(4, 2, extra_args=("fem4",))
     for c, o in zip(codes, outs):
         assert c == 0, f"rank failed:\n{o[-2000:]}"
     assert all("MULTIHOST FEM OK" in o for o in outs)
