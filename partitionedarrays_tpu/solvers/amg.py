@@ -160,16 +160,25 @@ def aggregate_psparse(A: PSparseMatrix, epsilon: float = 0.0, block_size: int = 
     and every dof inherits its node's aggregate (so vector components of a
     node stay together, as required by the elasticity nullspace QR).
     Returns (local aggregate ids per dof per part, coarse PRange)."""
-    aggs = []
-    for b in A.blocks:
+    from ..psparse import _agree_max_i32, _data_parts
+
+    P = A.row_prange.n_parts
+    data = set(_data_parts(A))
+    aggs: List[Optional[np.ndarray]] = [None] * P
+    for p in data:
+        b = A.blocks[p]
         node_agg = aggregate(strength_graph(b["oo"], block_size), epsilon)
         if block_size == 1:
-            aggs.append(node_agg)
+            aggs[p] = node_agg
         else:
-            dof_agg = np.repeat(node_agg, block_size)[: b["oo"].shape[0]]
-            aggs.append(dof_agg)
-    counts = [int(a.max()) + 1 if a.size else 0 for a in aggs]
-    coarse = PRange(variable_partition(counts))
+            aggs[p] = np.repeat(node_agg, block_size)[: b["oo"].shape[0]]
+    counts = np.zeros(P, np.int64)
+    for p in data:
+        counts[p] = int(aggs[p].max()) + 1 if aggs[p].size else 0
+    # per-process mode: every process needs every part's aggregate count
+    # to build the (replicated-metadata) coarse partition
+    counts = _agree_max_i32(A.backend, counts)
+    coarse = PRange(variable_partition([int(c) for c in counts]))
     return aggs, coarse
 
 
@@ -241,14 +250,27 @@ def constant_prolongator(
     A: PSparseMatrix, aggs: List[np.ndarray], coarse: PRange
 ) -> PSparseMatrix:
     """Piecewise-constant P0 (parity: constant_prolongator, amg.jl:151-209)."""
-    I_parts, J_parts, V_parts = [], [], []
-    for li_f, li_c, a in zip(A.row_prange.partition(), coarse.partition(), aggs):
-        I_parts.append(li_f.own_to_global)
-        J_parts.append(li_c.own_to_global[a])
-        V_parts.append(np.ones(a.size, dtype=A.dtype))
-    fine_rows = PRange([li.remove_ghost() for li in A.row_prange.partition()])
+    from ..psparse import _data_parts, _is_local_only, _psparse_auto
+
+    fine_parts = A.row_prange.partition()
+    coarse_parts = coarse.partition()
+    tri = {}
+    for p in _data_parts(A):
+        a = aggs[p]
+        tri[p] = (
+            fine_parts[p].own_to_global,
+            coarse_parts[p].own_to_global[a],
+            np.ones(a.size, dtype=A.dtype),
+        )
+    fine_rows = PRange([li.remove_ghost() for li in fine_parts])
+    if _is_local_only(A):
+        return _psparse_auto(tri, fine_rows, coarse, A.backend, A.dtype, True)
+    P = len(fine_parts)
     return psparse(
-        I_parts, J_parts, V_parts, fine_rows, coarse, A.backend, assembled=True
+        [tri[p][0] for p in range(P)],
+        [tri[p][1] for p in range(P)],
+        [tri[p][2] for p in range(P)],
+        fine_rows, coarse, A.backend, assembled=True,
     )
 
 
@@ -263,17 +285,27 @@ def tentative_prolongator(
     nullspace (parity: tentative_prolongator_with_block_size,
     amg.jl:268-435).  Returns (P0, coarse_nullspace, coarse_dof_prange).
     """
+    from ..psparse import _agree_max_i32, _data_parts, _is_local_only, _psparse_auto
+
     if nullspace is None:
         return constant_prolongator(A, aggs, coarse), None, coarse
-    n_modes = len(nullspace[0])
-    # coarse dofs: n_modes per aggregate
-    counts = [int(a.max() + 1) * n_modes if a.size else 0 for a in aggs]
-    coarse_dofs = PRange(variable_partition(counts))
-    I_parts, J_parts, V_parts = [], [], []
-    coarse_ns: List[List[np.ndarray]] = []
-    for li_f, li_cd, a, modes in zip(
-        A.row_prange.partition(), coarse_dofs.partition(), aggs, nullspace
-    ):
+    local_only = _is_local_only(A)
+    P = A.row_prange.n_parts
+    data = _data_parts(A)
+    n_modes = len(next(m for m in nullspace if m is not None))
+    # coarse dofs: n_modes per aggregate (counts agreed across processes)
+    counts = np.zeros(P, np.int64)
+    for p in data:
+        a = aggs[p]
+        counts[p] = int(a.max() + 1) * n_modes if a.size else 0
+    counts = _agree_max_i32(A.backend, counts)
+    coarse_dofs = PRange(variable_partition([int(c) for c in counts]))
+    fine_parts = A.row_prange.partition()
+    cd_parts = coarse_dofs.partition()
+    tri = {}
+    coarse_ns: List[Optional[List[np.ndarray]]] = [None] * P
+    for p in data:
+        li_f, li_cd, a, modes = fine_parts[p], cd_parts[p], aggs[p], nullspace[p]
         n_agg = int(a.max() + 1) if a.size else 0
         B = np.stack(modes, axis=1) if modes else np.zeros((a.size, 0))
         Is, Js, Vs = [], [], []
@@ -289,14 +321,22 @@ def tentative_prolongator(
                 Js.append(np.full(rows.size, li_cd.own_to_global[g * n_modes + k]))
                 Vs.append(Q[:, k] if k < kq else np.zeros(rows.size, dtype=B.dtype))
             Bc[g * n_modes : g * n_modes + kq, :] = Rf
-        I_parts.append(np.concatenate(Is) if Is else np.zeros(0, dtype=np.int64))
-        J_parts.append(np.concatenate(Js) if Js else np.zeros(0, dtype=np.int64))
-        V_parts.append(np.concatenate(Vs) if Vs else np.zeros(0))
-        coarse_ns.append([Bc[:, k] for k in range(n_modes)])
-    fine_rows = PRange([li.remove_ghost() for li in A.row_prange.partition()])
-    P0 = psparse(
-        I_parts, J_parts, V_parts, fine_rows, coarse_dofs, A.backend, assembled=True
-    )
+        tri[p] = (
+            np.concatenate(Is) if Is else np.zeros(0, dtype=np.int64),
+            np.concatenate(Js) if Js else np.zeros(0, dtype=np.int64),
+            np.concatenate(Vs) if Vs else np.zeros(0),
+        )
+        coarse_ns[p] = [Bc[:, k] for k in range(n_modes)]
+    fine_rows = PRange([li.remove_ghost() for li in fine_parts])
+    if local_only:
+        P0 = _psparse_auto(tri, fine_rows, coarse_dofs, A.backend, A.dtype, True)
+    else:
+        P0 = psparse(
+            [tri[p][0] for p in range(P)],
+            [tri[p][1] for p in range(P)],
+            [tri[p][2] for p in range(P)],
+            fine_rows, coarse_dofs, A.backend, assembled=True,
+        )
     return P0, coarse_ns, coarse_dofs
 
 
@@ -332,6 +372,7 @@ def spectral_radius(A: PSparseMatrix, Dinv=None, iters: int = 20) -> float:
     per-part list of inverse-diagonal arrays or a global scipy diagonal
     (API compatibility); None derives it from A."""
     from ..parallel.primitives import host_consistent
+    from ..psparse import _is_local_only
 
     parts = A.row_prange.partition()
     if Dinv is None:
@@ -341,6 +382,11 @@ def spectral_radius(A: PSparseMatrix, Dinv=None, iters: int = 20) -> float:
     else:
         dg = np.asarray(Dinv.diagonal())
         dinv = [dg[li.own_to_global] for li in parts]
+    if _is_local_only(A):
+        # per-process matrix: the host power method would need host blocks
+        # of every part — run it on DEVICE through the frozen SpMV instead
+        # (the cross-process halo exchange is the compiled ppermute plan)
+        return _spectral_radius_device(A, dinv, iters)
     rng = np.random.default_rng(0)
     x = [rng.standard_normal(li.n_own) for li in parts]
     cols = A.col_prange
@@ -360,6 +406,68 @@ def spectral_radius(A: PSparseMatrix, Dinv=None, iters: int = 20) -> float:
     return float(abs(lam))
 
 
+def _fetch_replicated_scalar(arr) -> float:
+    """Scalar from a possibly process-sharded replicated [P] array: read
+    this process's own shard (the value is identical on every part)."""
+    a = getattr(arr, "addressable_shards", None)
+    if a:
+        return float(np.asarray(a[0].data).reshape(-1)[0])
+    return float(np.asarray(arr).reshape(-1)[0])
+
+
+def _spectral_radius_device(A: PSparseMatrix, dinv_parts, iters: int = 20) -> float:
+    """Power-method rho(D^-1 A) on the frozen device operator — the
+    per-process tier of ``spectral_radius`` (same math; the halo exchange
+    is the compiled consistent plan instead of the host exchange)."""
+    import jax
+
+    from ..backends import stack_parts
+
+    backend = A.backend
+    clay = A.col_layout()
+    dt = np.dtype(A.dtype)
+    dinv = backend.shard(
+        jnp.asarray(
+            stack_parts(dinv_parts, pad_to=clay.n_own_pad, fill=0.0).astype(dt)
+        )
+    )
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((clay.n_parts, clay.n_own_pad)).astype(dt)
+    for p, li in enumerate(A.col_prange.partition()):
+        x0[p, li.n_own :] = 0.0
+    x = backend.shard(jnp.asarray(x0))
+    dev = A.device()
+    has_cg = clay.n_ghost_pad > 0 and clay.consistent_plan.n_rounds > 0
+
+    def make_f(iters=iters, has_cg=has_cg, ngp=clay.n_ghost_pad):
+        def f(xo, dinv, cplan, oo, oh):
+            def body(i, carry):
+                xv, _ = carry
+                nx = jnp.sqrt(jax.lax.psum(jnp.vdot(xv, xv), AXIS))
+                xv = xv / jnp.maximum(nx, 1e-30)
+                if has_cg:
+                    g = cplan.apply(xv, jnp.zeros((ngp,), xv.dtype), "set")
+                    y = oo.spmv(xv) + oh.spmv(g)
+                else:
+                    y = oo.spmv(xv)
+                y = dinv * y
+                ny = jnp.sqrt(jax.lax.psum(jnp.vdot(y, y), AXIS))
+                return (y, ny)
+
+            _, lam = jax.lax.fori_loop(
+                0, iters, body, (xo, jnp.zeros((), xo.dtype))
+            )
+            return lam
+
+        return f
+
+    lam = backend.spmd_cached(
+        ("spectral_device", A, iters, has_cg), make_f
+    )(x, dinv, clay.consistent_plan, dev.oo, dev.oh)
+    val = abs(_fetch_replicated_scalar(lam))
+    return float(val) if val > 0 else 1.0
+
+
 def smoothed_prolongator(
     A: PSparseMatrix,
     P0: PSparseMatrix,
@@ -374,14 +482,21 @@ def smoothed_prolongator(
     distributed sparse product — no global matrix."""
     from ..psparse import spmm
 
+    from ..psparse import _data_parts, _is_local_only, _placeholder_blocks
+
     dinv = _dinv_parts(A)
     if omega is None:
         rho = spectral_radius(A, dinv)
         omega = 4.0 / (3.0 * max(rho, 1e-12))
+    row_parts = A.row_prange.partition()
+    col_parts = A.col_prange.partition()
+    data = set(_data_parts(A))
     s_blocks = []
-    for b, dv, li_r, li_c in zip(
-        A.blocks, dinv, A.row_prange.partition(), A.col_prange.partition()
-    ):
+    for p in range(A.row_prange.n_parts):
+        b, dv, li_r, li_c = A.blocks[p], dinv[p], row_parts[p], col_parts[p]
+        if p not in data:
+            s_blocks.append(_placeholder_blocks(li_r, li_c, A.dtype))
+            continue
         scale = sp.diags(omega * dv)
         jco = li_c.global_to_own(li_r.own_to_global)
         rows = np.flatnonzero(jco >= 0)
@@ -396,6 +511,8 @@ def smoothed_prolongator(
             }
         )
     S = PSparseMatrix(s_blocks, A.row_prange, A.col_prange, A.backend, True)
+    if _is_local_only(A):
+        S._local_only = True
     P = spmm(S, P0)
     return (P, float(omega)) if return_omega else P
 
@@ -446,9 +563,6 @@ class AMGPreconditioner:
         self._setup(A, reuse_aggregates=False)
 
     def _setup(self, A: PSparseMatrix, reuse_aggregates: bool) -> None:
-        from ..psparse import _require_full_blocks
-
-        _require_full_blocks(A, "AMG setup")
         params = self.params
         self.levels: List[AMGLevel] = []
         current = A
@@ -477,7 +591,11 @@ class AMGPreconditioner:
                 self._aggs.append((aggs, coarse, struct_shapes))
             P0, ns, coarse_dofs = tentative_prolongator(current, aggs, coarse, ns)
             # coarse level has n_modes dofs per aggregate-node
-            bs = len(ns[0]) if ns is not None else 1
+            bs = (
+                len(next(m for m in ns if m is not None))
+                if ns is not None
+                else 1
+            )
             P, omega_used = smoothed_prolongator(
                 current, P0, params.omega, return_omega=True
             )
@@ -537,7 +655,12 @@ class AMGPreconditioner:
         import scipy.linalg as sla
 
         self.levels.append(AMGLevel(current, None, None))
-        G = to_global_scipy(current).toarray()
+        # per-process coarse operator: the coarse level is SMALL by
+        # construction, so an explicit triplet allgather (replicated G) is
+        # the analogue of the reference's repartition-to-main
+        from ..psparse import gather_global_scipy
+
+        G = gather_global_scipy(current, max_rows=200_000).toarray()
         lu, piv = sla.lu_factor(G, check_finite=False)
         du = np.abs(np.diag(lu))
         growth = float(du.max() / du.min()) if du.size and du.min() > 0 else np.inf
@@ -566,6 +689,16 @@ class AMGPreconditioner:
             self.coarse_inv = None
             self.coarse_lu = jnp.asarray(lu)
             self.coarse_piv = jnp.asarray(piv.astype(np.int32))
+        # freeze every level's operators NOW: device() / device_transpose()
+        # on a per-process matrix run the lazy-provider shard protocol,
+        # which cannot execute inside a jit trace (a fully-jitted CG
+        # traces the preconditioner), and eager freezing also ships the
+        # transpose as a pytree argument instead of a baked constant
+        for lev in self.levels:
+            lev.A.device()
+            if lev.P is not None and lev.struct is None:
+                lev.P.device()
+                lev.P.device_transpose()
         self.backend = A.backend
         clay = current.row_layout()
         g2g = np.full(

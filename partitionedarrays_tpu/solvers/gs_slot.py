@@ -167,17 +167,21 @@ class NaturalTileGS:
         dtype = np.dtype(A.dtype)
         Rp = _round_up(n_own_pad, 128)
         n_real_tiles = Rp // 128
+        local_only = bool(getattr(A, "_local_only", False))
+        parts = (
+            list(A.backend.local_parts()) if local_only else list(range(P))
+        )
 
         off_blocks = []
-        dense = np.zeros((P, n_real_tiles, 128, 128), dtype)
-        for p in range(P):
+        dense = np.zeros((len(parts), n_real_tiles, 128, 128), dtype)
+        for k, p in enumerate(parts):
             oo = A.blocks[p]["oo"].tocoo()
             tr = oo.row // 128
             tc = oo.col // 128
             inside = tr == tc
             # dense within-tile blocks
             np.add.at(
-                dense[p], (tr[inside], oo.row[inside] % 128, oo.col[inside] % 128),
+                dense[k], (tr[inside], oo.row[inside] % 128, oo.col[inside] % 128),
                 oo.data[inside],
             )
             off_blocks.append(
@@ -193,9 +197,44 @@ class NaturalTileGS:
         di = np.arange(128)
         dvals = dense[:, :, di, di]
         dense[:, :, di, di] = np.where(dvals == 0, 1.0, dvals)
-        plan = build_slot_plan(off_blocks, Rp, Rp, force_rt=128)
-        if plan is None:
-            return None
+        if local_only:
+            # cross-process-AGREED dims (round-3 VERDICT missing #4): the
+            # per-rt dim table is allgather-maxed exactly like the slot
+            # SpMV freeze, so every process compiles identical shapes
+            from ..ops.slot_spmv import (
+                _MAX_Q,
+                _MAX_SLOT_BYTES,
+                _MAX_WINDOW_ROWS,
+                _MAX_X2D_VMEM,
+                plan_dim_table,
+            )
+            from ..psparse import _agree_max_i32
+
+            tbl = plan_dim_table(off_blocks, Rp)  # row 0 == rt 128
+            tbl = _agree_max_i32(A.backend, tbl)
+            Q = max(int(tbl[0, 0]), 1)
+            S = max(int(tbl[0, 1]), 8)
+            mb = int(tbl[0, 2])
+            n_tiles = _round_up(max(n_real_tiles, 1), 8)
+            s_total = _round_up(max(n_tiles, mb + S, 8), 8)
+            if (
+                S > _MAX_WINDOW_ROWS
+                or Q > _MAX_Q
+                or P * n_tiles * Q * 128 * 8 > _MAX_SLOT_BYTES
+                or s_total * 512 > _MAX_X2D_VMEM
+            ):
+                return None
+            plan = build_slot_plan(
+                off_blocks, Rp, Rp, force_rt=128, force_dims=(Q, S, s_total)
+            )
+            if plan is None or (
+                plan.meta.n_slot_rows, plan.meta.window, plan.meta.s_total
+            ) != (Q, S, s_total):
+                return None
+        else:
+            plan = build_slot_plan(off_blocks, Rp, Rp, force_rt=128)
+            if plan is None:
+                return None
         meta = plan.meta
 
         # triangular factors (batched host inverses; ~128^3/3 flops each)
@@ -219,19 +258,31 @@ class NaturalTileGS:
         self.n_real_tiles = n_real_tiles
         Q = meta.n_slot_rows
         self.Qp = _round_up(Q, 128)
-        srow3 = np.zeros((P, meta.n_tiles, 1, self.Qp), np.int32)
+        srow3 = np.zeros((len(parts), meta.n_tiles, 1, self.Qp), np.int32)
         srow3[:, :, 0, :Q] = plan.srow
         self._torder_cache = {}
         shard = A.backend.shard
-        self.arrs = (
-            shard(jnp.asarray(plan.idx)),
-            shard(jnp.asarray(plan.vals)),
-            shard(jnp.asarray(srow3)),
-            shard(jnp.asarray(plan.srow)),
-            shard(jnp.asarray(plan.base)),
-            shard(jnp.asarray(dense_m)),
-            shard(jnp.asarray(dense_n)),
+        stacks = (
+            plan.idx, plan.vals, srow3, plan.srow, plan.base, dense_m, dense_n
         )
+        if local_only and len(parts) < P:
+            # only local shards materialize (lazy provider protocol);
+            # non-local parts are never requested on this process
+            def lazy(arr, part_of=dict((p, k) for k, p in enumerate(parts))):
+                def thunk():
+                    def provider(idx):
+                        p = idx[0].start if idx[0].start is not None else 0
+                        if p in part_of:
+                            return np.asarray(arr[part_of[p]])[None]
+                        return np.zeros((1,) + arr.shape[1:], arr.dtype)
+
+                    return (P,) + arr.shape[1:], arr.dtype, provider
+
+                return thunk
+
+            self.arrs = tuple(shard(lazy(a)) for a in stacks)
+        else:
+            self.arrs = tuple(shard(jnp.asarray(a)) for a in stacks)
         return self
 
     def _orders(self, dir_seq) -> tuple:

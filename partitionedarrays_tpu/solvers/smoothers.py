@@ -204,13 +204,6 @@ class GaussSeidel:
                 self.n_colors = self.colored.m
         self.slot_gs = None
         if self.colored is None:
-            if getattr(A, "_local_only", False):
-                # per-process matrix: the generic GS builders below plan
-                # from ALL parts' host blocks (placeholders for non-local
-                # parts) — shapes would diverge across processes
-                from ..psparse import _require_full_blocks
-
-                _require_full_blocks(A, "GaussSeidel (generic fallback)")
             diag_parts = [b["oo"].diagonal() for b in A.blocks]
             diag = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
             # general fallback, tier 1: natural-order tile GS on the slot
@@ -223,6 +216,15 @@ class GaussSeidel:
             if self.slot_gs is not None:
                 self.n_colors = 1
                 return
+            if getattr(A, "_local_only", False):
+                # the sorted-by-color tier below plans from ALL parts' host
+                # blocks (placeholders for non-local parts) — per-process
+                # color counts would diverge across processes
+                from ..psparse import _require_full_blocks
+
+                _require_full_blocks(
+                    A, "GaussSeidel (colored fallback; slot planner declined)"
+                )
             color_parts = [greedy_coloring(b["oo"]) for b in A.blocks]
             # tier 2 (slot planner declined): SORTED-BY-COLOR true GS on
             # sliced ELL sub-blocks — one sweep costs one full-SpMV worth

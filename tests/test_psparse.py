@@ -493,11 +493,13 @@ def test_psparse_local_matches_generic(backend4):
 def test_local_only_guards_loud(backend4):
     """Setup operations without a per-process implementation must RAISE on
     a ``_local_only`` matrix instead of silently consuming the empty
-    placeholder blocks (round-3 VERDICT missing #2)."""
+    placeholder blocks (round-3 VERDICT missing #2).  Everything else in
+    the setup algebra now HAS a per-process implementation — covered by
+    test_local_only_setup_algebra_matches."""
+    import importlib
+
     import numpy as np
     import pytest
-
-    import importlib
 
     psp = importlib.import_module("partitionedarrays_tpu.psparse")
     from partitionedarrays_tpu import PRange, psparse
@@ -506,23 +508,109 @@ def test_local_only_guards_loud(backend4):
     I, J, V, rows, cols = laplacian_fdm((6, 6), (4, 1), dtype=np.float32)
     A = psparse(I, J, V, PRange(rows), PRange(cols), backend4, assembled=True)
     A._local_only = True  # simulate a per-process matrix
-    for op in (
-        psp.to_global_scipy,
-        psp.centralize,
-        psp.dense_diag,
-        psp.transpose_psparse,
-        psp.identity_minus,
-        lambda M: psp.spmm(M, M),
-        lambda M: psp.spmtm(M, M),
-        lambda M: psp.repartition_matrix(M, M.row_prange, M.col_prange),
-        lambda M: M.device_transpose(),
-    ):
+    for op in (psp.to_global_scipy, psp.centralize):
         with pytest.raises(ValueError, match="_local_only"):
             op(A)
-    from partitionedarrays_tpu.solvers.amg import AMGPreconditioner
+    # the loud-or-correct replacement for centralize:
+    G = psp.gather_global_scipy(A)
+    A._local_only = False
+    assert np.abs((G - psp.to_global_scipy(A)).toarray()).max() == 0
 
-    with pytest.raises(ValueError, match="_local_only"):
-        AMGPreconditioner(A)
+
+def test_local_only_setup_algebra_matches(backend4):
+    """EVERY distributed setup operation runs per-process (round-3 VERDICT
+    missing #1): on a ``psparse_local``-built FEM operator, spmm / spmtm /
+    rap / transpose / repartition / consistent / identity_minus /
+    dense_diag / spmtv must equal the replicated-host results bit-for-care
+    (same algorithms, different data movement)."""
+    import importlib
+
+    import numpy as np
+
+    psp = importlib.import_module("partitionedarrays_tpu.psparse")
+    from partitionedarrays_tpu import PRange, psparse, psparse_local
+    from partitionedarrays_tpu.models.gallery import laplacian_fem
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+    from partitionedarrays_tpu.pvector import pones
+
+    I, J, V, rows, cols = laplacian_fem((10, 10), (4, 1), dtype=np.float64)
+    A_ref = psparse(I, J, V, PRange(rows), PRange(cols), backend4)
+    Il, Jl, Vl, rows2, cols2 = laplacian_fem(
+        (10, 10), (4, 1), dtype=np.float64, parts=backend4.local_parts()
+    )
+    A = psparse_local(Il, Jl, Vl, PRange(rows2), PRange(cols2), backend4)
+    assert getattr(A, "_local_only", False)
+
+    def G(M):
+        return psp.gather_global_scipy(M)
+
+    def close(Ma, Mb, tol=1e-11):
+        d = np.abs((Ma - Mb).toarray()).max()
+        assert d < tol, d
+
+    Gref = psp.to_global_scipy(A_ref)
+    close(G(A), Gref)
+
+    # spmm / rap / spmtm stay per-process and match the replicated algebra
+    C = psp.spmm(A, A)
+    assert getattr(C, "_local_only", False)
+    close(G(C), (Gref @ Gref).tocsr())
+    D = psp.spmtm(A, A)
+    assert getattr(D, "_local_only", False)
+    close(G(D), (Gref.T @ Gref).tocsr())
+    R = psp.rap(A, A, A)
+    close(G(R), (Gref @ Gref @ Gref).tocsr(), tol=1e-9)
+
+    T = psp.transpose_psparse(A)
+    assert getattr(T, "_local_only", False)
+    close(G(T), Gref.T.tocsr())
+
+    new_rows = PRange(uniform_partition((4,), (A.shape[0],)))
+    Rp = psp.repartition_matrix(A, new_rows, new_rows)
+    assert getattr(Rp, "_local_only", False)
+    close(G(Rp), Gref)
+
+    Im = psp.identity_minus(A)
+    assert getattr(Im, "_local_only", False)
+    close(G(Im), (sp_eye(A.shape[0]) - Gref).tocsr())
+
+    # dense_diag + spmtv (device transpose freeze)
+    d = psp.dense_diag(A)
+    dg = np.asarray(Gref.diagonal())
+    for p, li in enumerate(A.row_prange.partition()):
+        got = np.asarray(d.own)[p, : li.n_own]
+        assert np.abs(got - dg[li.own_to_global]).max() < 1e-12
+    x = pones(A.row_prange, backend4, dtype=np.float32)
+    y = psp.spmtv(A, x)
+    ref = Gref.T @ np.ones(A.shape[0])
+    for p, li in enumerate(A.col_prange.partition()):
+        got = np.asarray(y.own)[p, : li.n_own]
+        assert np.abs(got - ref[li.own_to_global]).max() < 1e-4
+
+    # a full generic AMG setup + solve on the per-process operator
+    from partitionedarrays_tpu.pvector import PVector, pvector_from_own
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+    from partitionedarrays_tpu.solvers.krylov import cg
+
+    M = AMGPreconditioner(A, AMGParams(coarse_size=12, max_levels=3, epsilon=0.02))
+    rng = np.random.default_rng(0)
+    xg = rng.standard_normal(A.shape[0])
+    bg = Gref @ xg
+    b = pvector_from_own(
+        [bg[li.own_to_global] for li in A.row_prange.partition()],
+        A.row_prange, backend4, dtype=np.float64,
+    )
+    xs, info = cg(A, b, M=M, rtol=1e-10, maxiter=200)
+    for p, li in enumerate(A.row_prange.partition()):
+        got = np.asarray(xs.own)[p, : li.n_own]
+        err = np.abs(got - xg[li.own_to_global]).max()
+        assert err < 1e-6, err
+
+
+def sp_eye(n):
+    import scipy.sparse as sp
+
+    return sp.eye(n, format="csr")
 
 
 def test_spmv_rehomes_row_layout_x(backend4):
