@@ -310,6 +310,37 @@ def ell_bench():
     # the slot-format kernel (ops/slot_spmv) runs this in tens of us —
     # long chains so the difference dwarfs tunnel latency jitter
     dt_ell = slope_time_per_iter(make_ell, (dev2, x2.own), k_small=16, k_big=272)
+
+    # forced-slot natural-order GS on the same operator (VERDICT r3 #4):
+    # the banded elasticity block normally rides the colored-DIA sweep, so
+    # the generic tile-GS must be certified explicitly each round —
+    # symmetric sweep time + ratio to the operator's slot SpMV
+    from partitionedarrays_tpu.solvers.gs_slot import NaturalTileGS
+
+    dt_sgs = None
+    sgs = NaturalTileGS.build(A2)
+    if sgs is not None:
+        b2 = pones(A2.row_prange, backend, dtype=jnp.float32)
+        dir_seq = ("f", "b")
+        fgs = backend.spmd_cached(
+            ("bench_slot_gs", sgs, dir_seq),
+            lambda: (lambda arrs, bo: sgs.sweeps(None, bo, arrs, dir_seq)),
+        )
+
+        def make_sgs(k):
+            @jax.jit
+            def run(arrs, own):
+                def body(i, own):
+                    return fgs(arrs, own) * 0.5
+
+                own = jax.lax.fori_loop(0, k, body, own)
+                return jnp.sum(own[:, :8])
+
+            return run
+
+        dt_sgs = slope_time_per_iter(
+            make_sgs, (sgs.arrs, b2.own), k_small=8, k_big=104
+        )
     # bytes actually streamed per block: the slot arrays when the slot
     # kernel is active (the ELL cols/vals stay in HBM unread); blocks
     # WITHOUT a slot plan still stream their full ELL cols/vals
@@ -326,7 +357,50 @@ def ell_bench():
     else:
         moved = dev2.nbytes()
     ell_gbs = (moved + A2.shape[0] * 8) / dt_ell / 1e9
-    return gbs, dt, dt_gs, nrows, nnz, kind, ell_gbs, dt_ell, A2.shape[0]
+    return (
+        gbs, dt, dt_gs, nrows, nnz, kind, ell_gbs, dt_ell, A2.shape[0], dt_sgs,
+    )
+
+
+def elast_amg_bench():
+    """Block-system AMG end-to-end (VERDICT r3 #8): 3-D Q1 linear
+    elasticity with the rigid-body nullspace (block_size=3) — setup
+    seconds, preconditioned-CG iterations and solve ms at rtol 1e-8
+    (parity workload: PartitionedSolvers/src/amg.jl:268-435,605-745)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.gallery import (
+        linear_elasticity_fem,
+        node_coordinates_unit_cube,
+        nullspace_linear_elasticity,
+    )
+    from partitionedarrays_tpu.psparse import spmv
+    from partitionedarrays_tpu.pvector import pones
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+    from partitionedarrays_tpu.solvers.krylov import cg
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    nodes = (16, 16, 16)
+    I, J, V, rows, cols = linear_elasticity_fem(nodes, (1, 1, 1), dtype=np.float32)
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend)
+    coords, _ = node_coordinates_unit_cube(nodes, (1, 1, 1))
+    ns = nullspace_linear_elasticity(coords, A.row_prange)
+    t0 = time.perf_counter()
+    M = AMGPreconditioner(
+        A, AMGParams(coarse_size=400, block_size=3, max_levels=4), nullspace=ns
+    )
+    t_setup = time.perf_counter() - t0
+    b = spmv(A, pones(A.col_prange, backend, dtype=jnp.float32))
+    x, info = cg(A, b, M=M, rtol=1e-8, maxiter=200)  # compile + converge
+    iters = int(np.asarray(info.iterations))
+    t0 = time.perf_counter()
+    x, info = cg(A, b, M=M, rtol=1e-8, maxiter=200)
+    np.asarray(x.own)
+    t_solve = time.perf_counter() - t0
+    return t_setup, iters, t_solve * 1e3, A.shape[0]
 
 
 def hpcg_rating():
@@ -402,7 +476,7 @@ def main():
     try:
         (
             el_gbs, el_dt, el_gs_dt, el_rows, el_nnz, el_kind,
-            ellf_gbs, ellf_dt, ellf_rows,
+            ellf_gbs, ellf_dt, ellf_rows, slot_gs_dt,
         ) = ell_bench()
         ell = {
             "elast_spmv_gbs": round(el_gbs, 2),
@@ -414,9 +488,25 @@ def main():
             "ell_forced_spmv_gbs": round(ellf_gbs, 2),
             "ell_forced_spmv_ms": round(ellf_dt * 1e3, 3),
             "ell_forced_rows": ellf_rows,
+            "slot_gs_sweep_ms": (
+                round(slot_gs_dt * 1e3, 3) if slot_gs_dt else None
+            ),
+            "slot_gs_vs_spmv": (
+                round(slot_gs_dt / ellf_dt, 2) if slot_gs_dt else None
+            ),
         }
     except Exception as e:
         ell = {"elast_spmv_gbs": None, "elast_error": repr(e)[:200]}
+    try:
+        ea_setup, ea_iters, ea_solve_ms, ea_rows = elast_amg_bench()
+        elast_amg = {
+            "elast_amg_setup_s": round(ea_setup, 2),
+            "elast_amg_cg_iters_1e8": ea_iters,
+            "elast_amg_solve_ms": round(ea_solve_ms, 1),
+            "elast_amg_rows": ea_rows,
+        }
+    except Exception as e:
+        elast_amg = {"elast_amg_setup_s": None, "elast_amg_error": repr(e)[:200]}
     try:
         df_raw, df_rated, df_res, df_valid = hpcg_df64_rating()
         df64 = {
@@ -455,6 +545,7 @@ def main():
             "amg64_cg_iters_1e8": amg_iters,
             **df64,
             **ell,
+            **elast_amg,
         },
     }
     print(json.dumps(result))

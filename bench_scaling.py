@@ -25,6 +25,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--local", type=int, default=None, help="local box edge")
     ap.add_argument("--iters", type=int, default=25, help="CG iterations")
+    ap.add_argument(
+        "--out", type=str, default=None,
+        help="also write all records to this JSON file (the per-round "
+        "SCALING_r0N.json artifact)",
+    )
     args = ap.parse_args()
 
     import os
@@ -76,6 +81,7 @@ def main():
     if counts[-1] != len(devices):
         counts.append(len(devices))
 
+    records = []
     base_nnz_s = None
     for p in counts:
         backend = MeshBackend(devices=devices[:p])
@@ -107,6 +113,12 @@ def main():
         if base_nnz_s is None:
             base_nnz_s = per_dev
         eff = per_dev / base_nnz_s
+        # on a VIRTUAL (shared-host) mesh all devices share one CPU, so
+        # per-device efficiency conflates time-slicing with communication;
+        # the flat-total ratio is the meaningful overhead number there
+        # (1.0 = the p-way SPMD program moves the grown problem at the
+        # single-part rate; the deficit is collective+pack overhead)
+        total_ratio = nnz_s / base_nnz_s
 
         # one CG set for a correctness fence
         @jax.jit
@@ -117,23 +129,48 @@ def main():
         norms = np.asarray(one_set(A, b))
         relres = float(norms[-1] / norms[0])
 
-        print(
-            json.dumps(
-                {
-                    "metric": "hpcg27_weak_scaling",
-                    "devices": p,
-                    "parts_per_dir": list(parts),
-                    "local_shape": list(local_shape),
-                    "global_rows": A.shape[0],
-                    "nnz": int(nnz),
-                    "spmv_ms": round(dt * 1e3, 4),
-                    "gnnz_per_s_per_device": round(per_dev / 1e9, 4),
-                    "weak_efficiency": round(eff, 4),
-                    "cg_relres": relres,
-                }
-            ),
-            flush=True,
+        rec = {
+            "metric": "hpcg27_weak_scaling",
+            "devices": p,
+            "parts_per_dir": list(parts),
+            "local_shape": list(local_shape),
+            "global_rows": A.shape[0],
+            "nnz": int(nnz),
+            "spmv_ms": round(dt * 1e3, 4),
+            "gnnz_per_s_per_device": round(per_dev / 1e9, 4),
+            "weak_efficiency": round(eff, 4),
+            "total_gnnz_per_s": round(nnz_s / 1e9, 4),
+            "shared_host_total_ratio": round(total_ratio, 4),
+            "cg_relres": relres,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    if args.out:
+        shared = devices[0].platform.lower() == "cpu"
+        note = (
+            "weak scaling, constant work per device; efficiency = "
+            "per-device nnz/s vs 1 device."
         )
+        if shared:
+            note += (
+                "  VIRTUAL CPU MESH: all devices time-slice ONE host CPU "
+                "and every loop iteration pays the XLA-CPU cross-device "
+                "rendezvous, so neither column reflects TPU ICI scaling — "
+                "the artifact tracks ROUND-OVER-ROUND regressions of the "
+                "exchange-plan/shard_map overhead (see bench_overlap.py "
+                "for the measured compute/exchange overlap on this mesh)."
+            )
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "platform": devices[0].platform,
+                    "shared_host_mesh": shared,
+                    "note": note,
+                    "records": records,
+                },
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":

@@ -47,21 +47,38 @@ def cg(
     # A (and a pytree-registered preconditioner) are passed as jit ARGUMENTS:
     # their leaves are device arrays — baking them in as constants would
     # bloat the compile payload and is illegal for multi-process (globally
-    # sharded) arrays.
+    # sharded) arrays.  The jitted runner is CACHED by argument pytree
+    # structure (+ static solver params): a fresh ``jax.jit(lambda ...)``
+    # per call would re-trace and re-compile EVERY solve — measured ~10 s
+    # per repeated AMG-preconditioned solve that should cost milliseconds.
     if not isinstance(b.own, jax.core.Tracer):
         if M is None or _all_array_leaves(M):
-            run = jax.jit(
-                lambda A, M, b, x0: _cg_loop(
-                    A, b, x0, (M if M is not None else (lambda r: r)),
-                    rtol, atol, maxiter,
-                )
+            key = (
+                "cg_m",
+                jax.tree_util.tree_structure((A, M, b, x0)),
+                rtol, atol, maxiter,
             )
+            run = _jit_cache.get(key)
+            if run is None:
+                run = jax.jit(
+                    lambda A, M, b, x0: _cg_loop(
+                        A, b, x0, (M if M is not None else (lambda r: r)),
+                        rtol, atol, maxiter,
+                    )
+                )
+                _jit_cache[key] = run
             return run(A, M, b, x0)
         run = jax.jit(
             lambda A, b, x0: _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
         )
         return run(A, b, x0)
     return _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
+
+
+# jitted-solver runners keyed by argument structure; the treedefs hold the
+# matrices' identity-keyed host refs alive, which is exactly what makes
+# repeated solves on the same operator hit the jit cache
+_jit_cache: dict = {}
 
 
 def _all_array_leaves(obj) -> bool:
@@ -132,6 +149,22 @@ def pipelined_cg(
         x0 = _as_row_vector(A, x0)
     Mfn = M if M is not None else (lambda r: r)
     if not isinstance(b.own, jax.core.Tracer):
+        if M is None or _all_array_leaves(M):
+            key = (
+                "pipecg",
+                jax.tree_util.tree_structure((A, M, b, x0)),
+                rtol, atol, maxiter,
+            )
+            run = _jit_cache.get(key)
+            if run is None:
+                run = jax.jit(
+                    lambda A, M, b, x0: _pipecg_loop(
+                        A, b, x0, (M if M is not None else (lambda r: r)),
+                        rtol, atol, maxiter,
+                    )
+                )
+                _jit_cache[key] = run
+            return run(A, M, b, x0)
         run = jax.jit(
             lambda b, x0: _pipecg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
         )
