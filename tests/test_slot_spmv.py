@@ -158,15 +158,105 @@ def test_natural_tile_gs_matches_reference_sweep(backend4):
     z = gs(b)  # zero-guess forward sweep
 
     # explicit reference: per part (hybrid, ghost x = 0 at zero guess),
-    # exact natural-order forward GS from x0 = 0: x = (D+L)^{-1} b
+    # exact Gauss-Seidel from x0 = 0 in the sweep's WAVE-MAJOR ordering
+    # (a valid GS ordering; natural within each 128-row tile — the
+    # smoother exposes it via ``schedules``): permute, solve the lower
+    # triangle, unpermute
     from scipy.sparse.linalg import spsolve_triangular
 
+    sgs = gs.slot_gs
     for p in range(P):
+        n_p = sizes[p]
+        perm = np.concatenate(
+            [
+                np.arange(t * 128, min((t + 1) * 128, n_p))
+                for wave in sgs.schedules[p]
+                for t in wave
+                if t * 128 < n_p
+            ]
+        )
         Ap = A.blocks[p]["oo"].tocsr().astype(np.float64)
         bp = b_parts[p].astype(np.float64)
-        x = spsolve_triangular(sp.tril(Ap).tocsr(), bp, lower=True)
-        got = np.asarray(z.own)[p, : sizes[p]]
+        App = Ap[perm][:, perm]
+        xperm = spsolve_triangular(sp.tril(App).tocsr(), bp[perm], lower=True)
+        x = np.empty_like(xperm)
+        x[perm] = xperm
+        got = np.asarray(z.own)[p, : n_p]
         assert np.abs(got - x).max() < 5e-4 * max(1, np.abs(x).max())
+
+
+def _gs_reference(Ap, bp, x0, perm):
+    """Pointwise GS in an explicit row ordering (python loop, float64)."""
+    A = Ap.tocsr()
+    x = x0.copy()
+    for i in perm:
+        lo, hi = A.indptr[i], A.indptr[i + 1]
+        cols = A.indices[lo:hi]
+        vals = A.data[lo:hi]
+        s = float(vals @ x[cols])
+        d = A[i, i]
+        x[i] = x[i] + (bp[i] - s) / d
+    return x
+
+
+def test_wave_schedule_batches_and_symmetric_sweep(backend4):
+    """A banded operator whose tiles couple only to neighbors must
+    produce a genuinely BATCHED wave schedule (red/black tiles), and the
+    symmetric sweep with a nonzero initial guess must equal exact GS in
+    the wave-major ordering forward + its reverse backward."""
+    from partitionedarrays_tpu import PRange, psparse
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+    from partitionedarrays_tpu.pvector import pvector_from_own
+    from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
+
+    rng = np.random.default_rng(23)
+    n, P = 4096, 4
+    sz = n // P  # 1024 rows -> 8 tiles per part
+    blocks = []
+    for p in range(P):
+        Ab = _random_banded(sz, 200, 9, seed=100 + p)
+        Ab = Ab + Ab.T
+        Ab = Ab + sp.diags(np.abs(Ab).sum(1).A1 + 1.0)
+        blocks.append(Ab.tocoo())
+    I = [b.row + p * sz for p, b in enumerate(blocks)]
+    J = [b.col + p * sz for p, b in enumerate(blocks)]
+    Vv = [b.data.astype(np.float32) for b in blocks]
+    rows = PRange(uniform_partition(P, n))
+    cols = PRange(uniform_partition(P, n))
+    A = psparse(I, J, Vv, rows, cols, backend4, assembled=True)
+    gs = GaussSeidel(A, iterations=1, sweep="symmetric")
+    assert gs.colored is None and gs.slot_gs is not None
+    sgs = gs.slot_gs
+    # neighbor-only tile coupling -> waves batch multiple tiles
+    assert sgs.B > 1, "wave schedule should batch independent tiles"
+    assert sgs.W < sgs.n_real_tiles
+
+    b_parts = [rng.standard_normal(sz).astype(np.float32) for p in range(P)]
+    x_parts = [rng.standard_normal(sz).astype(np.float32) for p in range(P)]
+    b = pvector_from_own(b_parts, A.row_prange, backend4)
+    x = pvector_from_own(x_parts, A.row_prange, backend4)
+    z = gs.apply(x, b)
+
+    for p in range(P):
+        perm = np.concatenate(
+            [
+                np.arange(t * 128, min((t + 1) * 128, sz))
+                for wave in sgs.schedules[p]
+                for t in wave
+                if t * 128 < sz
+            ]
+        )
+        assert not np.array_equal(perm, np.arange(sz)), "ordering is wave-major"
+        Ap = A.blocks[p]["oo"].tocsr().astype(np.float64)
+        ref = _gs_reference(
+            Ap, b_parts[p].astype(np.float64),
+            x_parts[p].astype(np.float64), perm,
+        )
+        ref = _gs_reference(
+            Ap, b_parts[p].astype(np.float64), ref, perm[::-1]
+        )
+        got = np.asarray(z.own)[p, :sz]
+        assert np.abs(got - ref).max() < 5e-4 * max(1, np.abs(ref).max())
 
 
 def test_refill_reuses_slot_plan(backend4):
