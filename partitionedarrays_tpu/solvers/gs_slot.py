@@ -36,7 +36,9 @@ per-step costs:
   locality survives); WITHIN-TILE coupling stays exact pointwise GS via
   the dense factors: forward entries apply
   ``x_t = (D+L)^{-1} (b_t - y_off - U x_t_old)``, backward the mirror —
-  two small MXU matvecs per tile;
+  and the whole wave's solves run as TWO block-diagonal MXU matmuls
+  against wave-stacked factors (per-entry matvecs measured
+  op-issue-bound);
 - the hybrid/processor-block structure is unchanged: one ghost exchange
   per application, ghost contributions folded into b
   (consistent! once per smooth, smoothers.jl:104-105).

@@ -53,6 +53,10 @@ def main():
         _amg_local(backend, pid, local, P)
         return
 
+    if len(sys.argv) > 4 and sys.argv[4] == "gsslot":
+        _gsslot_local(backend, pid, local, P)
+        return
+
     if len(sys.argv) > 4 and sys.argv[4] == "fem4":
         # 4-process variant on a 2-D parts grid: asymmetric per-pair
         # message sizes (edge vs corner neighbors) exercise the per-round
@@ -209,6 +213,98 @@ def _fem_local(backend, pid, local, P, nodes=(9, 9), parts_grid=None):
     if not ok:
         raise SystemExit(2)
     print(f"pid={pid} MULTIHOST FEM OK parts={local}", flush=True)
+
+
+def _gsslot_local(backend, pid, local, P):
+    """Cross-process-AGREED wave slot-GS (round-4): an operator whose
+    offset set declines the DIA/colored path, built per-process
+    (``psparse_local``), must compile the wave-scheduled tile-GS to
+    IDENTICAL shapes on every process (allgather-maxed Q/S/s_total AND
+    wave count W / batch width B) and produce the exact wave-ordered
+    Gauss-Seidel sweep, validated per shard against scipy triangular
+    solves in each part's own wave-major permutation."""
+    import jax
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve_triangular
+
+    from partitionedarrays_tpu import PRange
+    from partitionedarrays_tpu.parallel.p_range import uniform_partition
+    from partitionedarrays_tpu.psparse import psparse_local
+    from partitionedarrays_tpu.pvector import pvector_from_own
+    from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
+
+    rng = np.random.default_rng(7)
+    n, sz = 1024 * P, 1024  # 8 tiles per part
+    blocks = {}
+    for p in range(P):
+        rp = np.random.default_rng(300 + p)
+        rows_l, cols_l, vals_l = [], [], []
+        for r in range(sz):
+            lo, hi = max(0, r - 120), min(sz, r + 121)
+            c = rp.choice(np.arange(lo, hi), size=min(9, hi - lo), replace=False)
+            rows_l += [r] * len(c)
+            cols_l += list(c)
+            vals_l += list(rp.standard_normal(len(c)))
+        Ab = sp.csr_matrix((vals_l, (rows_l, cols_l)), shape=(sz, sz))
+        Ab = Ab + Ab.T
+        Ab = (Ab + sp.diags(np.abs(Ab).sum(1).A1 + 1.0)).tocoo()
+        blocks[p] = Ab
+    I = [blocks[p].row + p * sz if p in local else None for p in range(P)]
+    J = [blocks[p].col + p * sz if p in local else None for p in range(P)]
+    V = [
+        blocks[p].data.astype(np.float32) if p in local else None
+        for p in range(P)
+    ]
+    rows = PRange(uniform_partition(P, n))
+    cols = PRange(uniform_partition(P, n))
+    A = psparse_local(I, J, V, rows, cols, backend)
+    assert getattr(A, "_local_only", False)
+    gs = GaussSeidel(A, iterations=1, sweep="forward")
+    assert gs.colored is None, "operator must decline the colored path"
+    sgs = gs.slot_gs
+    assert sgs is not None, "agreed slot tile-GS must accept the operator"
+    assert sgs.B > 1, "wave schedule should batch independent tiles"
+
+    b_parts = [
+        rng.standard_normal(sz).astype(np.float32) for _ in range(P)
+    ]
+    b = pvector_from_own(b_parts, A.row_prange, backend)
+    z = gs(b)  # zero-guess forward sweep (block-diagonal operator: the
+    # hybrid ghost contribution is empty, so per-part exactness holds)
+    ok = True
+    local_k = {p: k for k, p in enumerate(sgs.parts)}
+    for sh in z.own.addressable_shards:
+        p = sh.index[0].start
+        perm = np.concatenate(
+            [
+                np.arange(t * 128, min((t + 1) * 128, sz))
+                for wave in sgs.schedules[local_k[p]]
+                for t in wave
+                if t * 128 < sz
+            ]
+        )
+        Ap = sp.coo_matrix(
+            (blocks[p].data, (blocks[p].row, blocks[p].col)), shape=(sz, sz)
+        ).tocsr().astype(np.float64)
+        App = Ap[perm][:, perm]
+        xp = spsolve_triangular(
+            sp.tril(App).tocsr(), b_parts[p][perm].astype(np.float64),
+            lower=True,
+        )
+        ref = np.empty_like(xp)
+        ref[perm] = xp
+        got = np.asarray(sh.data)[0, :sz]
+        err = np.abs(got - ref).max()
+        if err > 5e-4 * max(1.0, np.abs(ref).max()):
+            print(f"pid={pid} part={p} GSSLOT MISMATCH err={err}", flush=True)
+            ok = False
+    if not ok:
+        raise SystemExit(2)
+    print(
+        f"pid={pid} MULTIHOST GSSLOT OK parts={local} "
+        f"W={sgs.W} B={sgs.B}",
+        flush=True,
+    )
 
 
 def _amg_local(backend, pid, local, P):

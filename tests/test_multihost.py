@@ -106,6 +106,18 @@ def test_multihost_generic_amg_local_setup():
     assert all("MULTIHOST AMG OK" in o for o in outs)
 
 
+def test_multihost_wave_slot_gs_agreed_dims():
+    """Cross-process-agreed WAVE slot-GS (round-4): an operator whose
+    offset set declines the DIA/colored path must compile the
+    wave-scheduled tile-GS to identical shapes on both processes
+    (allgather-maxed Q/S/s_total + wave count W + batch width B) and
+    reproduce the exact wave-ordered GS sweep per shard."""
+    codes, outs = _launch(2, 2, extra_args=("gsslot",))
+    for c, o in zip(codes, outs):
+        assert c == 0, f"rank failed:\n{o[-3000:]}"
+    assert all("MULTIHOST GSSLOT OK" in o for o in outs)
+
+
 def test_multihost_fem_four_processes():
     """4 processes x 2 devices = 8 parts on a (4, 2) parts grid: per-pair
     message-size asymmetry (edge vs corner neighbors) and agreed-dims
