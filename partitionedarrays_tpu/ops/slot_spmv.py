@@ -161,7 +161,15 @@ def build_slot_plan(
     csrs = [b.tocsr() for b in blocks]
     for b in csrs:
         b.sort_indices()
-    if n_cols_pad == 0 or all(b.nnz == 0 for b in csrs):
+    if n_cols_pad == 0:
+        return None
+    if all(b.nnz == 0 for b in csrs) and force_dims is None:
+        # locally empty: without forced dims there is nothing to plan.
+        # WITH force_dims (the cross-process agreed-dims path) an all-zero
+        # plan is built instead — a process whose local blocks happen to
+        # be empty must still compile the same program as its peers, or a
+        # per-process None would desync the collective setup (distributed
+        # hang).
         return None
     best = None
     for rt in (128, 64, 32, 16, 8) if force_rt is None else (force_rt,):

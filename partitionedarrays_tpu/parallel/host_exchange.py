@@ -22,10 +22,12 @@ exchange ragged per-neighbor messages through Isend/Irecv
 Metadata is O(P * max_degree): per-part cross-edge lists (destination,
 length) are allgathered — there is no P x P count matrix anywhere.
 
-Wire format: int fields travel as int32 (split into lo/hi int32 words when
-any value needs more than 31 bits — ids at n_global >= 2**31 assemble
-exactly instead of silently wrapping); float fields travel as f32, or as an
-exact Dekker (hi, lo) f32 pair for f64 payloads when jax x64 is disabled.
+Wire format: int fields travel as int32 (sign-safe lo/hi int32 floor-split
+when any value needs more than 31 bits — ids at n_global >= 2**31 assemble
+exactly instead of silently wrapping, negative sentinels included); float
+fields travel as f32, or — for f64 payloads when jax x64 is disabled — as
+the f64 BIT PATTERN split into two int32 words (exact for every value,
+including inf/nan and full 53-bit mantissas).
 """
 from __future__ import annotations
 
@@ -49,7 +51,9 @@ def _is_multiprocess(backend) -> bool:
 
 def _wire_plan(dtypes: Sequence[np.dtype], needs64: Sequence[bool]):
     """Per logical field: list of (wire_class, n_words).  wire_class is
-    "i" (int32 words) or "f" (float32/float64 words)."""
+    "i" (int32 words, sign-safe lo/hi floor-split when 2 words), "b"
+    (f64 BITCAST into two int32 words — exact for every finite and
+    non-finite f64, rides the int buffer) or "f" (native float words)."""
     import jax
 
     x64 = bool(jax.config.jax_enable_x64)
@@ -59,7 +63,7 @@ def _wire_plan(dtypes: Sequence[np.dtype], needs64: Sequence[bool]):
         if np.issubdtype(dt, np.integer):
             plan.append(("i", 2 if big else 1))
         elif dt.itemsize > 4 and not x64:
-            plan.append(("f", 2))  # Dekker split pair (exact for f64)
+            plan.append(("b", 2))
         else:
             plan.append(("f", 1))
     return plan
@@ -71,15 +75,24 @@ def _encode(field: np.ndarray, spec, fdt=np.float32) -> List[np.ndarray]:
         v = np.asarray(field, dtype=np.int64)
         if nw == 1:
             return [v.astype(np.int32)]
-        if (v < 0).any():
-            raise ValueError("64-bit int wire fields must be non-negative")
-        return [(v % _INT_SPLIT).astype(np.int32), (v // _INT_SPLIT).astype(np.int32)]
+        # sign-safe exact split: lo = v mod 2^31 in [0, 2^31), hi = the
+        # floor quotient (negative values included); |v| < 2^62 keeps hi
+        # in int32 range — far beyond any realistic global id
+        if v.size and (np.abs(v) >> 62).any():
+            raise ValueError("64-bit int wire fields must satisfy |v| < 2**62")
+        lo = v & (_INT_SPLIT - 1)
+        hi = v >> 31
+        return [lo.astype(np.int32), hi.astype(np.int32)]
+    if kind == "b":
+        # f64 bitcast -> two int32 words: exact round trip for every
+        # value (incl. inf/nan and full 53-bit mantissas), no x64 needed
+        bits = np.ascontiguousarray(np.asarray(field, np.float64)).view(np.int64)
+        return [
+            (bits & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
+            (bits >> 32).astype(np.int32),
+        ]
     v = np.asarray(field)
-    if nw == 1:
-        return [v.astype(fdt)]  # fdt is f64 when x64 is live
-    hi = v.astype(np.float32)
-    lo = (v - hi.astype(np.float64)).astype(np.float32)
-    return [hi, lo]
+    return [v.astype(fdt)]  # fdt is f64 when x64 is live
 
 
 def _decode(words: List[np.ndarray], spec, dtype):
@@ -87,13 +100,15 @@ def _decode(words: List[np.ndarray], spec, dtype):
     if kind == "i":
         if nw == 1:
             return words[0].astype(np.dtype(dtype))
-        v = words[0].astype(np.int64) + words[1].astype(np.int64) * _INT_SPLIT
-        return v.astype(np.dtype(dtype))
-    if nw == 1:
-        return words[0].astype(np.dtype(dtype))
-    return (words[0].astype(np.float64) + words[1].astype(np.float64)).astype(
-        np.dtype(dtype)
-    )
+        lo = words[0].astype(np.int64)
+        hi = words[1].astype(np.int64)
+        return ((hi << 31) + lo).astype(np.dtype(dtype))
+    if kind == "b":
+        lo = np.ascontiguousarray(words[0]).view(np.uint32).astype(np.int64)
+        hi = np.ascontiguousarray(words[1]).astype(np.int64)
+        bits = (hi << 32) | lo
+        return bits.view(np.float64).astype(np.dtype(dtype))
+    return words[0].astype(np.dtype(dtype))
 
 
 def exchange_part_messages(
@@ -145,14 +160,18 @@ def exchange_part_messages(
     for fields in msgs.values():
         for k, (dt, f) in enumerate(zip(dtypes, fields)):
             if np.issubdtype(dt, np.integer) and len(f):
-                if int(np.asarray(f, dtype=np.int64).max(initial=0)) >= _INT_SPLIT:
+                v = np.asarray(f, dtype=np.int64)
+                if (
+                    int(v.max(initial=0)) >= _INT_SPLIT
+                    or int(v.min(initial=0)) < -_INT_SPLIT
+                ):
                     need_local[k] = 1
     head = np.concatenate([[deg_local], need_local]).astype(np.int64)
     head = np.asarray(mhu.process_allgather(head.astype(np.int32))).max(0)
     maxdeg = int(head[0])
     needs64 = [bool(b) for b in head[1:]]
     wire = _wire_plan(dtypes, needs64)
-    n_i = sum(nw for k, nw in wire if k == "i")
+    n_i = sum(nw for k, nw in wire if k != "f")
     n_f = sum(nw for k, nw in wire if k == "f")
 
     if maxdeg == 0:
@@ -192,7 +211,7 @@ def exchange_part_messages(
         iw: List[np.ndarray] = []
         fw: List[np.ndarray] = []
         for spec, f in zip(wire, fields):
-            (iw if spec[0] == "i" else fw).extend(_encode(f, spec, fdt))
+            (fw if spec[0] == "f" else iw).extend(_encode(f, spec, fdt))
         enc[(s, d)] = (iw, fw)
 
     for r, redges in enumerate(rounds):
@@ -265,7 +284,7 @@ def exchange_part_messages(
             ii = ff = 0
             for spec, dt in zip(wire, dtypes):
                 nw = spec[1]
-                if spec[0] == "i":
+                if spec[0] != "f":
                     fields.append(_decode(iw[ii : ii + nw], spec, dt))
                     ii += nw
                 else:
@@ -308,27 +327,28 @@ def allgather_part_arrays(
 
     big = False
     if np.issubdtype(dtype, np.integer):
-        loc = max(
-            (int(np.asarray(a, np.int64).max(initial=0)) for a in arrs.values()),
-            default=0,
-        )
+        loc = 0
+        for a in arrs.values():
+            v = np.asarray(a, np.int64)
+            if v.size and (
+                int(v.max()) >= _INT_SPLIT or int(v.min()) < -_INT_SPLIT
+            ):
+                loc = 1
         big = bool(
             np.asarray(
-                mhu.process_allgather(np.asarray([loc >= _INT_SPLIT], np.int32))
+                mhu.process_allgather(np.asarray([loc], np.int32))
             ).max()
         )
-    spec = (
-        ("i", 2 if big else 1)
-        if np.issubdtype(dtype, np.integer)
-        else ("f", 2 if dtype.itemsize > 4 and not jax.config.jax_enable_x64 else 1)
-    )
-    nw = spec[1]
-    if spec[0] == "i":
+    if np.issubdtype(dtype, np.integer):
+        spec = ("i", 2 if big else 1)
         wdt = np.int32
-    elif dtype.itemsize > 4 and jax.config.jax_enable_x64:
-        wdt = np.float64
+    elif dtype.itemsize > 4 and not jax.config.jax_enable_x64:
+        spec = ("b", 2)  # exact f64 bit split, int32 words
+        wdt = np.int32
     else:
-        wdt = np.float32
+        spec = ("f", 1)
+        wdt = np.float64 if dtype.itemsize > 4 else np.float32
+    nw = spec[1]
     buf = np.zeros((P, nw, m), wdt)
     for p, a in arrs.items():
         for w, word in enumerate(_encode(np.asarray(a, dtype=dtype), spec, wdt)):

@@ -1101,24 +1101,36 @@ def consistent_matrix(A: PSparseMatrix, rows_co: PRange) -> Task:
     data = _data_parts(A)
     co_parts = rows_co.partition()
     col_parts = A.col_prange.partition()
+    # group every requester's ghosts BY OWNER once (argsort + split:
+    # O(total_ghosts log), not an O(P^2) per-(owner, part) mask scan)
+    data_set = set(data)
+    wanted_by_owner: dict = {}  # owner -> [(requester, gids), ...]
+    for p in range(P):
+        li = co_parts[p]
+        if li.n_ghost == 0:
+            continue
+        owners = np.asarray(li.ghost_to_owner)
+        order = np.argsort(owners, kind="stable")
+        so = owners[order]
+        cuts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+        for k, start in enumerate(cuts):
+            end = cuts[k + 1] if k + 1 < cuts.size else so.size
+            o = int(so[start])
+            if o == p or o not in data_set:
+                continue
+            wanted_by_owner.setdefault(o, []).append(
+                (p, np.asarray(li.ghost_to_global)[order[start:end]])
+            )
     # reply construction: owners extract the requested rows as triplets
     msgs: dict = {}
     for o in data:
+        reqs = wanted_by_owner.get(o)
+        if not reqs:
+            continue
         b, li_r, li_c = A.blocks[o], A.row_prange[o], col_parts[o]
-        loc = col_g = None
-        for p in range(P):
-            li = co_parts[p]
-            if p == o or li.n_ghost == 0:
-                continue
-            sel = li.ghost_to_owner == o
-            if not sel.any():
-                continue
-            gids = li.ghost_to_global[sel]
-            if loc is None:
-                loc = _hstack_local(b)
-                col_g = np.concatenate(
-                    [li_c.own_to_global, li_c.ghost_to_global]
-                )
+        loc = _hstack_local(b)
+        col_g = np.concatenate([li_c.own_to_global, li_c.ghost_to_global])
+        for p, gids in reqs:
             pos = li_r.global_to_own(gids)
             assert (pos >= 0).all(), "consistent_matrix: requested non-own row"
             sub = loc[pos].tocoo()

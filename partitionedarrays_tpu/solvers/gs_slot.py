@@ -359,10 +359,15 @@ class NaturalTileGS:
         Q = meta.n_slot_rows
         Qp = _round_up(Q, 128)
         nparts = len(parts)
+        # process-INDEPENDENT budget (P, not the local part count): in
+        # multi-process local-only mode every viability decision must be
+        # identical on every process — a one-sided None here would desync
+        # the collective setup (GaussSeidel fallback raises on one rank
+        # while the others wait in the next allgather)
         ent_bytes = (
             Q * 128 * (1 + dtype.itemsize) + 2 * 128 * 128 * dtype.itemsize
         )
-        if nparts * W * B * ent_bytes > _MAX_SLOT_BYTES:
+        if P * W * B * ent_bytes > _MAX_SLOT_BYTES:
             return None
         # entry-order arrays: wave-major with all-zero padding entries
         # (zero slots, zero factors, zero b -> they write 0 to pad_row)

@@ -58,7 +58,7 @@ def cg(
                 jax.tree_util.tree_structure((A, M, b, x0)),
                 rtol, atol, maxiter,
             )
-            run = _jit_cache.get(key)
+            run = _jit_cache_get(key)
             if run is None:
                 run = jax.jit(
                     lambda A, M, b, x0: _cg_loop(
@@ -66,7 +66,7 @@ def cg(
                         rtol, atol, maxiter,
                     )
                 )
-                _jit_cache[key] = run
+                _jit_cache_put(key, run)
             return run(A, M, b, x0)
         run = jax.jit(
             lambda A, b, x0: _cg_loop(A, b, x0, Mfn, rtol, atol, maxiter)
@@ -77,8 +77,28 @@ def cg(
 
 # jitted-solver runners keyed by argument structure; the treedefs hold the
 # matrices' identity-keyed host refs alive, which is exactly what makes
-# repeated solves on the same operator hit the jit cache
-_jit_cache: dict = {}
+# repeated solves on the same operator hit the jit cache.  BOUNDED (LRU):
+# each entry pins its operator's host blocks + frozen device arrays + the
+# compiled executable, so an unbounded dict would leak the full problem
+# for every operator ever solved in a long-running process.
+from collections import OrderedDict as _OrderedDict
+
+_JIT_CACHE_MAX = 32
+_jit_cache: "_OrderedDict" = _OrderedDict()
+
+
+def _jit_cache_get(key):
+    run = _jit_cache.get(key)
+    if run is not None:
+        _jit_cache.move_to_end(key)
+    return run
+
+
+def _jit_cache_put(key, run):
+    _jit_cache[key] = run
+    _jit_cache.move_to_end(key)
+    while len(_jit_cache) > _JIT_CACHE_MAX:
+        _jit_cache.popitem(last=False)
 
 
 def _all_array_leaves(obj) -> bool:
@@ -155,7 +175,7 @@ def pipelined_cg(
                 jax.tree_util.tree_structure((A, M, b, x0)),
                 rtol, atol, maxiter,
             )
-            run = _jit_cache.get(key)
+            run = _jit_cache_get(key)
             if run is None:
                 run = jax.jit(
                     lambda A, M, b, x0: _pipecg_loop(
@@ -163,7 +183,7 @@ def pipelined_cg(
                         rtol, atol, maxiter,
                     )
                 )
-                _jit_cache[key] = run
+                _jit_cache_put(key, run)
             return run(A, M, b, x0)
         run = jax.jit(
             lambda b, x0: _pipecg_loop(A, b, x0, Mfn, rtol, atol, maxiter)

@@ -358,3 +358,49 @@ def test_exchange_graph_reference_pattern():
     for p in range(4):
         got = sorted(len(v) for v in rcvv[p])
         assert got == sorted(q + 1 for q in graph.rcv[p])
+
+
+def test_host_exchange_wire_codec_exact():
+    """The cross-process wire codec must be BIT-exact for every payload
+    class: int64 ids beyond 2^31 (incl. negative sentinels), f64 values
+    with full 53-bit mantissas, out-of-f32-range magnitudes and
+    non-finite values (parity: the reference's MPI wire carries native
+    Int64/Float64 — src/mpi_array.jl:539-614)."""
+    from partitionedarrays_tpu.parallel.host_exchange import (
+        _decode,
+        _encode,
+        _wire_plan,
+    )
+
+    rng = np.random.default_rng(5)
+    # -- int64: mixed large / negative-sentinel values
+    ints = np.array(
+        [0, -1, 2**31, 2**31 - 1, -(2**31) - 7, 2**53 + 12345, -(2**53), 7],
+        np.int64,
+    )
+    spec = _wire_plan([np.int64], [True])[0]
+    assert spec == ("i", 2)
+    back = _decode(_encode(ints, spec), spec, np.int64)
+    assert np.array_equal(back, ints)
+    # -- f64 with x64 off: bitcast split must round-trip exactly
+    f64 = np.concatenate(
+        [
+            rng.standard_normal(64),
+            [1e39, -1e39, 1e-310, np.inf, -np.inf, 0.0, -0.0],
+            [1.0 + 2.0**-52],
+        ]
+    ).astype(np.float64)
+    spec_b = ("b", 2)
+    got = _decode(_encode(f64, spec_b), spec_b, np.float64)
+    assert np.array_equal(
+        got.view(np.int64), f64.view(np.int64)
+    ), "f64 wire not bit-exact"
+    # -- plain small ints and f32 single-word paths
+    small = np.array([-5, 0, 9], np.int32)
+    spec_i = ("i", 1)
+    assert np.array_equal(_decode(_encode(small, spec_i), spec_i, np.int32), small)
+    f32 = rng.standard_normal(16).astype(np.float32)
+    spec_f = ("f", 1)
+    assert np.array_equal(
+        _decode(_encode(f32, spec_f, np.float32), spec_f, np.float32), f32
+    )
