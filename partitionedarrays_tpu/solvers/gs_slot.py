@@ -90,7 +90,7 @@ def _wave_schedule(adj, nt: int, B: int) -> List[List[int]]:
     static_argnames=("Q", "Qp", "S", "B", "W", "s_total", "n_steps"),
 )
 def _wave_sweep_pallas(
-    eidx, evals, esrow, dpack, masks, bp2, x0, tid, ebase, wblk, dblk,
+    eidx, evals, eoh, dpack, masks, bp2, x0, tid, ebase, wblk, dblk, mflag,
     *, Q, Qp, S, B, W, s_total, n_steps,
 ):
     """One Pallas launch runs the whole sweep sequence.  The x plane is
@@ -104,35 +104,37 @@ def _wave_sweep_pallas(
     per-entry (1,128)x(128,128) matvec version measured op-issue-bound
     (24 tiny MXU ops per wave).  The block-diagonal operand scratch is
     written once per wave at fixed offsets, so off-diagonal blocks stay
-    zero across the whole grid.  The one-hot routing is rebuilt
-    in-kernel from the srow vector — a precomputed one-hot at sweep
-    window sizes would rival the slot bytes."""
+    zero across the whole grid.  The one-hot routing matrices are
+    STREAMED precomputed (the in-kernel iota+compare rebuild measured
+    ~40 us/sweep of VPU issue; the stream is ~S/640 of the slot bytes),
+    and the direction mask is recomputed into scratch only at direction
+    transitions (``mflag``)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     @jax.custom_batching.custom_vmap
-    def run(eidx, evals, esrow, dpack, masks, bp2, x0, tid, ebase, wblk, dblk):
+    def run(eidx, evals, eoh, dpack, masks, bp2, x0, tid, ebase, wblk, dblk, mflag):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # wblk, dblk, tid, ebase
+            num_scalar_prefetch=5,  # wblk, dblk, mflag, tid, ebase
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x plane (aliased)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # b plane
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # le/ge masks
                 pl.BlockSpec(
-                    (1, B, Q, 128), lambda i, w, d, t, e: (w[i], 0, 0, 0),
+                    (1, B, Q, 128), lambda i, w, d, m, t, e: (w[i], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, B, Q, 128), lambda i, w, d, t, e: (w[i], 0, 0, 0),
+                    (1, B, Q, 128), lambda i, w, d, m, t, e: (w[i], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, B, Qp), lambda i, w, d, t, e: (w[i], 0, 0),
+                    (1, B, Q, S), lambda i, w, d, m, t, e: (w[i], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, B * 128, 128), lambda i, w, d, t, e: (d[i], 0, 0),
+                    (1, B * 128, 128), lambda i, w, d, m, t, e: (d[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -141,12 +143,14 @@ def _wave_sweep_pallas(
                 pltpu.VMEM((B, 128), x0.dtype),  # b - y rows
                 pltpu.VMEM((B, B * 128), x0.dtype),  # blockdiag x_old
                 pltpu.VMEM((B, B * 128), x0.dtype),  # blockdiag rhs
+                pltpu.VMEM((B * 128, 128), x0.dtype),  # direction mask
             ],
         )
 
         def kernel(
-            w_ref, d_ref, t_ref, e_ref, x_ref, b_ref, mk_ref, i_ref, v_ref,
-            s_ref, p_ref, o_ref, yv_ref, xe_ref, re_ref,
+            w_ref, d_ref, mf_ref, t_ref, e_ref, x_ref, b_ref, mk_ref,
+            i_ref, v_ref, oh_ref, p_ref, o_ref, yv_ref, xe_ref, re_ref,
+            msk_ref,
         ):
             i = pl.program_id(0)
             w = w_ref[i]
@@ -161,22 +165,21 @@ def _wave_sweep_pallas(
 
             # fwd entries solve with the lower-incl-diag triangle of the
             # packed (transposed) plane = upper-incl-diag mask; bwd the
-            # mirror.  Arithmetic select (guaranteed Mosaic lowering).
-            f = (d_ref[i] < W).astype(x_ref.dtype)
-            mask = f * mk_ref[0] + (1.0 - f) * mk_ref[1]  # (B*128, 128)
+            # mirror.  Recomputed only at direction transitions.
+            @pl.when(mf_ref[i] == 1)
+            def _mask():
+                f = (d_ref[i] < W).astype(x_ref.dtype)
+                msk_ref[...] = f * mk_ref[0] + (1.0 - f) * mk_ref[1]
+
+            mask = msk_ref[...]  # (B*128, 128)
             pp = p_ref[0]  # stacked packed factors (B*128, 128)
             m1 = pp * mask  # M^T blocks (solve factors)
             m2 = pp - m1  # strict-triangle^T blocks (old-x coupling)
             for j in range(B):
                 t = t_ref[w * B + j]
                 win = o_ref[pl.ds(e_ref[w * B + j], S), :]  # live x window
-                sr = s_ref[0, j, :Q]  # (Q,) lanes
-                ohT = (
-                    jax.lax.broadcasted_iota(jnp.int32, (S, Q), 0)
-                    == sr[None, :]
-                ).astype(win.dtype)
                 op = jax.lax.dot_general(
-                    ohT, win, (((0,), (0,)), ((), ())),
+                    oh_ref[0, j], win, (((1,), (0,)), ((), ())),
                     preferred_element_type=win.dtype,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (Q, 128)
@@ -216,8 +219,8 @@ def _wave_sweep_pallas(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((s_total, 128), x0.dtype),
-            input_output_aliases={4: 0},
-        )(wblk, dblk, tid, ebase, x0, bp2, masks, eidx, evals, esrow, dpack)
+            input_output_aliases={5: 0},
+        )(wblk, dblk, mflag, tid, ebase, x0, bp2, masks, eidx, evals, eoh, dpack)
 
     @run.def_vmap
     def _run_batched(axis_size, in_batched, *args):  # noqa: ANN001
@@ -227,7 +230,7 @@ def _wave_sweep_pallas(
         )
         return jax.lax.map(lambda t: run(*t), args), True
 
-    return run(eidx, evals, esrow, dpack, masks, bp2, x0, tid, ebase, wblk, dblk)
+    return run(eidx, evals, eoh, dpack, masks, bp2, x0, tid, ebase, wblk, dblk, mflag)
 
 
 class NaturalTileGS:
@@ -374,6 +377,9 @@ class NaturalTileGS:
         eidx = np.zeros((nparts, W, B, Q, 128), np.int8)
         evals = np.zeros((nparts, W, B, Q, 128), dtype)
         esrow = np.zeros((nparts, W, B, Qp), np.int32)
+        # precomputed one-hot routing (streamed; srow 0 maps window row 0,
+        # so padding entries harmlessly route zeros)
+        eoh = np.zeros((nparts, W, B, Q, meta.window), dtype)
         tid = np.full((nparts, W * B), pad_row, np.int32)
         ebase = np.zeros((nparts, W * B), np.int32)
         # packed factors STACKED per wave (B*128, 128): the kernel's
@@ -385,6 +391,10 @@ class NaturalTileGS:
                     eidx[k, w, j] = plan.idx[k, t]
                     evals[k, w, j] = plan.vals[k, t]
                     esrow[k, w, j, :Q] = plan.srow[k, t]
+                    eoh[k, w, j] = (
+                        plan.srow[k, t][:, None]
+                        == np.arange(meta.window, dtype=np.int32)
+                    )
                     tid[k, w * B + j] = t
                     ebase[k, w * B + j] = plan.base[k, t]
                     dpack[k, w, j * 128 : (j + 1) * 128] = pack_f[k, t]
@@ -410,7 +420,7 @@ class NaturalTileGS:
         self._masks = masks
         self._steps_cache = {}
         shard = A.backend.shard
-        stacks = (eidx, evals, esrow, tid, ebase, dpack)
+        stacks = (eidx, evals, esrow, eoh, tid, ebase, dpack)
         if local_only and len(parts) < P:
             # only local shards materialize (lazy provider protocol);
             # non-local parts are never requested on this process
@@ -432,9 +442,10 @@ class NaturalTileGS:
         return self
 
     def _steps(self, dir_seq) -> tuple:
-        """(wblk, dblk) step arrays for a direction sequence like
+        """(wblk, dblk, mflag) step arrays for a direction sequence like
         ('f', 'b'): wblk picks the wave slab, dblk the factor slab
-        (fwd factors at [0, W), bwd at [W, 2W))."""
+        (fwd factors at [0, W), bwd at [W, 2W)); mflag marks the steps
+        where the direction mask must be recomputed."""
         key = tuple(dir_seq)
         got = self._steps_cache.get(key)
         if got is None:
@@ -448,7 +459,12 @@ class NaturalTileGS:
                     rev = np.arange(W - 1, -1, -1, dtype=np.int32)
                     w_parts.append(rev)
                     d_parts.append(W + rev)
-            got = (np.concatenate(w_parts), np.concatenate(d_parts))
+            wblk = np.concatenate(w_parts)
+            dblk = np.concatenate(d_parts)
+            fwd = (dblk < W).astype(np.int32)
+            mflag = np.ones_like(dblk)
+            mflag[1:] = (fwd[1:] != fwd[:-1]).astype(np.int32)
+            got = (wblk, dblk, mflag)
             self._steps_cache[key] = got
         return got
 
@@ -457,7 +473,7 @@ class NaturalTileGS:
     def sweeps(self, xo, bo_eff, arrs, dir_seq):
         from .. import config
 
-        eidx, evals, esrow, tid, ebase, dpack = arrs
+        eidx, evals, esrow, eoh, tid, ebase, dpack = arrs
         meta = self.meta
         s_total = meta.s_total
         xp = (
@@ -466,7 +482,7 @@ class NaturalTileGS:
             else jnp.zeros((self.Rp,), xo.dtype).at[: xo.shape[0]].set(xo)
         )
         if config.pallas_enabled():
-            wblk, dblk = self._steps(dir_seq)
+            wblk, dblk, mflag = self._steps(dir_seq)
             x0 = (
                 jnp.zeros((s_total * 128,), xp.dtype)
                 .at[: self.Rp]
@@ -480,9 +496,9 @@ class NaturalTileGS:
                 .reshape(s_total, 128)
             )
             out = _wave_sweep_pallas(
-                eidx, evals, esrow, dpack, jnp.asarray(self._masks),
+                eidx, evals, eoh, dpack, jnp.asarray(self._masks),
                 bp2, x0, tid, ebase,
-                jnp.asarray(wblk), jnp.asarray(dblk),
+                jnp.asarray(wblk), jnp.asarray(dblk), jnp.asarray(mflag),
                 Q=meta.n_slot_rows, Qp=self.Qp, S=meta.window,
                 B=self.B, W=self.W, s_total=s_total,
                 n_steps=int(wblk.shape[-1]),
