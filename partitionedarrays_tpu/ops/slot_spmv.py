@@ -361,10 +361,17 @@ def slot_spmv_ref(idx, vals, srow, base, x, meta: SlotMeta):
 
 
 def slot_spmv(idx, vals, srow, onehot, base, x, meta: SlotMeta):
-    """Per-part SPMD slot SpMV: Pallas on TPU, XLA twin elsewhere."""
+    """Per-part SPMD slot SpMV: Pallas on TPU, XLA twin elsewhere (also
+    for f64 values — the TPU X64 software rewriting does not handle
+    custom calls, same gate as dia_spmv_pallas_viable)."""
     from .. import config
 
-    if config.pallas_enabled() and onehot is not None:
+    if (
+        config.pallas_enabled()
+        and onehot is not None
+        and np.dtype(vals.dtype).itemsize <= 4
+        and np.dtype(x.dtype).itemsize <= 4
+    ):
         return _slot_spmv_pallas(
             idx, vals, onehot, base, x,
             rt=meta.rows_per_tile, Q=meta.n_slot_rows, S=meta.window,

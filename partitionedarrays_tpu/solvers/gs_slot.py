@@ -481,7 +481,10 @@ class NaturalTileGS:
             if xo is None
             else jnp.zeros((self.Rp,), xo.dtype).at[: xo.shape[0]].set(xo)
         )
-        if config.pallas_enabled():
+        if config.pallas_enabled() and np.dtype(bo_eff.dtype).itemsize <= 4:
+            # f64 (jax x64): the X64 software rewriting does not handle
+            # custom calls (Pallas) — the XLA twin below runs instead,
+            # same gate as dia_spmv_pallas_viable
             wblk, dblk, mflag = self._steps(dir_seq)
             x0 = (
                 jnp.zeros((s_total * 128,), xp.dtype)

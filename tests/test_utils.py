@@ -92,3 +92,7 @@ def test_example_failure_propagates(tmp_path):
     )
     assert out.returncode != 0
     assert "boom" in out.stderr
+
+
+def test_example_per_process_runs():
+    _run_example("per_process_example", "|x-x*|")
