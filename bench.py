@@ -339,7 +339,7 @@ def ell_bench():
             return run
 
         dt_sgs = slope_time_per_iter(
-            make_sgs, (sgs.arrs, b2.own), k_small=8, k_big=104
+            make_sgs, (sgs.arrs, b2.own), k_small=16, k_big=272
         )
     # bytes actually streamed per block: the slot arrays when the slot
     # kernel is active (the ELL cols/vals stay in HBM unread); blocks
