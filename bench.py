@@ -430,6 +430,7 @@ def hpcg_rating():
         s["GFLOPs"]["rated"],
         s["GBs_model"],
         s["final_relres"],
+        s["GFLOPs"]["rated_1800s_projection"],
     )
 
 
@@ -520,9 +521,9 @@ def main():
         df64 = {"hpcg_gflops_rated_df64": None, "df64_error": repr(e)[:200]}
     gbs, nnz_s, dt, nrows, nnz = spmv_bench()
     try:
-        hpcg_gf, hpcg_rated, hpcg_gbs, hpcg_res = hpcg_rating()
+        hpcg_gf, hpcg_rated, hpcg_gbs, hpcg_res, hpcg_rated_off = hpcg_rating()
     except Exception:
-        hpcg_gf = hpcg_rated = hpcg_gbs = hpcg_res = None
+        hpcg_gf = hpcg_rated = hpcg_gbs = hpcg_res = hpcg_rated_off = None
     result = {
         "metric": "hpcg27_spmv_bandwidth",
         "value": round(gbs, 2),
@@ -537,6 +538,7 @@ def main():
             "nnz": nnz,
             "hpcg_gflops_raw": hpcg_gf,
             "hpcg_gflops_rated": hpcg_rated,
+            "hpcg_gflops_rated_1800s_projection": hpcg_rated_off,
             "hpcg_gbs_model": hpcg_gbs,
             "hpcg_final_relres": hpcg_res,
             "amg64_vcycle_ms": amg_ms,

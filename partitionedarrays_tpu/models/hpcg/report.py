@@ -86,9 +86,20 @@ class HPCGReport:
         # official penalty: amortize setup/optimization and convergence
         # overhead (extra iterations vs the reference count)
         conv_penalty = self.ref_iterations / max(self.iterations, 1)
-        t_total = t + self.time_setup + self.time_optimization
+        oh = self.time_setup + self.time_optimization
+        t_total = t + oh
         rated = f["total"] * min(conv_penalty, 1.0) / t_total / 1e9
-        return {"raw": raw, "rated": rated}
+        # the official benchmark amortizes the SAME one-time overhead over
+        # a >= 1800 s run window (HPCG/src/hpcg_benchmark.jl:81-88); our
+        # drivable window is shorter, which magnifies the overhead term by
+        # 1800/t.  Project the rating onto the official window at the
+        # measured throughput — a clearly-labeled derived figure, NOT a
+        # measurement (the executed-window `rated` stays the headline).
+        t_off = max(1800.0, t)
+        rated_off = (
+            f["total"] * min(conv_penalty, 1.0) * (t_off / t) / (t_off + oh) / 1e9
+        )
+        return {"raw": raw, "rated": rated, "rated_1800s_projection": rated_off}
 
     def gbs(self) -> float:
         return self.bytes_model()["total"] / max(self.time_solve, 1e-12) / 1e9
@@ -179,6 +190,8 @@ class HPCGReport:
             "GFLOP/s Summary:",
             f"Raw Total = {g['raw']:.3f}",
             f"Total with convergence and optimization phase overhead = {g['rated']:.3f}",
+            "Projection onto the official >=1800 s window (derived, not "
+            f"measured) = {g['rated_1800s_projection']:.3f}",
             "",
             (
                 f"HPCG result is VALID with a GFLOP/s rating of: {g['rated']:.3f}"
