@@ -31,14 +31,19 @@ import time
 import numpy as np
 
 
-def _bench(fn, args, repeats=20):
+def _bench(fn, args, repeats=40):
+    """(min, noise) over repeats — noise = spread of the lowest quartile,
+    the honest uncertainty of the min-floor estimate on a time-sliced
+    host (host scheduling jitter is positive-only)."""
     fn(*args)  # compile + warm
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    ts.sort()
+    q = max(2, len(ts) // 4)
+    return ts[0], ts[q] - ts[0]
 
 
 def main():
@@ -79,20 +84,20 @@ def main():
 
     # -- t_full: the production overlapped SpMV
     f_full = jax.jit(lambda A, x: spmv(A, x).own)
-    t_full = _bench(f_full, (A, x))
+    t_full, n_full = _bench(f_full, (A, x))
 
     # -- t_oo: own_own product only
     f_oo = backend.spmd_cached(
         ("probe_oo",), lambda: (lambda xo, oo: oo.spmv(xo))
     )
-    t_oo = _bench(f_oo, (x.own, dev.oo))
+    t_oo, _ = _bench(f_oo, (x.own, dev.oo))
 
     # -- t_ex: exchange only (pack -> ppermute rounds -> single scatter)
     f_ex = backend.spmd_cached(
         ("probe_ex",),
         lambda: (lambda xo, xg, pl: pl.apply(xo, xg, "set")),
     )
-    t_ex = _bench(f_ex, (x.own, x.ghost, clay.consistent_plan))
+    t_ex, _ = _bench(f_ex, (x.own, x.ghost, clay.consistent_plan))
 
     # -- t_seq: forced serialization — the own_own input depends on the
     # exchange output, so XLA must finish the exchange first
@@ -105,11 +110,15 @@ def main():
         return f
 
     f_seq = backend.spmd_cached(("probe_seq",), make_seq)
-    t_seq = _bench(f_seq, (x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh))
+    t_seq, n_seq = _bench(f_seq, (x.own, x.ghost, clay.consistent_plan, dev.oo, dev.oh))
 
     hideable = min(t_oo, t_ex)
     overlap = (t_seq - t_full) / hideable if hideable > 0 else 0.0
     overlap = min(1.0, max(0.0, overlap))  # clamp measurement noise
+    # honest uncertainty: on a time-sliced 8-virtual-device host the
+    # scheduling jitter of the two big measurements can exceed the whole
+    # hideable window — flag the fraction when it is below that floor
+    noise = n_full + n_seq
     print(
         json.dumps(
             {
@@ -121,6 +130,8 @@ def main():
                     "t_seq_ms": round(t_seq * 1e3, 3),
                     "t_own_own_ms": round(t_oo * 1e3, 3),
                     "t_exchange_ms": round(t_ex * 1e3, 3),
+                    "noise_floor_ms": round(noise * 1e3, 3),
+                    "below_noise_floor": bool(hideable < noise),
                     "devices": n_dev,
                     "platform": devices[0].platform,
                 },
