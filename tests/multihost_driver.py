@@ -240,7 +240,16 @@ def _gsslot_local(backend, pid, local, P):
         rp = np.random.default_rng(300 + p)
         rows_l, cols_l, vals_l = [], [], []
         for r in range(sz):
-            lo, hi = max(0, r - 120), min(sz, r + 121)
+            if p < P // 2:
+                # the FIRST half of the parts (process 0's) couple only
+                # WITHIN 128-row tiles: that process's off-tile blocks
+                # are all empty, so every viability decision of the
+                # agreed wave-GS build must still be collective (a
+                # one-sided decline would desync the setup — review
+                # finding, round 4)
+                lo, hi = (r // 128) * 128, min(sz, (r // 128) * 128 + 128)
+            else:
+                lo, hi = max(0, r - 120), min(sz, r + 121)
             c = rp.choice(np.arange(lo, hi), size=min(9, hi - lo), replace=False)
             rows_l += [r] * len(c)
             cols_l += list(c)
