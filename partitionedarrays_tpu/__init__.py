@@ -159,6 +159,13 @@ from .pvector import (
     psqeuclidean,
     psum_reduce,
     pvector,
+    pvector_df64,
+    pvector_refill,
+    pvector_split_df64,
+    pdot_df64,
+    pnorm_df64,
+    axpy_df64,
+    collect_df64,
     pvector_from_local,
     pvector_local,
     pvector_from_own,
@@ -173,8 +180,10 @@ from .psparse import (
     DeviceSpMat,
     PSparseMatrix,
     assemble_matrix,
+    assemble_matrix_into,
     centralize,
     consistent_matrix,
+    consistent_matrix_into,
     dense_diag,
     identity_minus,
     psparse,
@@ -183,7 +192,9 @@ from .psparse import (
     psparse_local,
     psparse_refill,
     psystem,
+    psystem_refill,
     rap,
+    rap_into,
     renumber_matrix,
     repartition_matrix,
     repartition_system,
@@ -192,7 +203,9 @@ from .psparse import (
     split_matrix,
     split_matrix_blocks,
     spmm,
+    spmm_into,
     spmtm,
+    spmtm_into,
     spmtv,
     spmv,
     to_global_scipy,
@@ -219,7 +232,13 @@ from .block_arrays import (
 )
 
 # -- solvers (L6) -----------------------------------------------------------
-from .solvers.krylov import CGInfo, cg, pipelined_cg, richardson_iteration
+from .solvers.krylov import (
+    CGInfo,
+    cg,
+    cg_df64,
+    pipelined_cg,
+    richardson_iteration,
+)
 from .solvers.smoothers import (
     AdditiveSchwarz,
     GaussSeidel,

@@ -166,6 +166,16 @@ def div(a: Tuple, b: Tuple) -> Tuple:
     return quick_two_sum(q1, q2 + q3)
 
 
+def sqrt(a: Tuple) -> Tuple:
+    """df64 square root: f32 seed + one df64 Newton step (quadratic
+    convergence makes one step sufficient for ~2^-48 relative)."""
+    s = jnp.sqrt(jnp.maximum(a[0], 0.0))
+    sp = (s, jnp.zeros_like(s))
+    q = div(a, (jnp.where(s > 0, s, 1.0), jnp.zeros_like(s)))
+    h, l = add(sp, q)
+    return (0.5 * h, 0.5 * l)  # exact halving
+
+
 def scale(v: Tuple, s: Tuple) -> Tuple:
     """vector df64 * scalar df64 (broadcast mul)."""
     return mul(v, (jnp.broadcast_to(s[0], v[0].shape), jnp.broadcast_to(s[1], v[0].shape)))

@@ -264,6 +264,32 @@ class GaussSeidel:
                 )
             self.color_tabs = tuple(tabs)
 
+    def refresh_values(self, A: PSparseMatrix) -> None:
+        """Refresh the smoother for new matrix VALUES at fixed sparsity
+        (the smoother-update leg of amg_update!, amg.jl:925-942).
+
+        Builds a fresh smoother from ``A`` and grafts its value ARRAYS
+        into this object, keeping the identity of ``self``, the
+        ColoredDIAGS and the NaturalTileGS objects — those identities key
+        the compiled-program cache (backends.spmd_cached), so a refresh
+        re-uses every compiled sweep instead of re-tracing."""
+        g2 = GaussSeidel(A, self.iterations, self.sweep)
+        if (self.colored is None) != (g2.colored is None) or (
+            self.slot_gs is None
+        ) != (g2.slot_gs is None):
+            raise ValueError(
+                "refresh_values: the new matrix selected a different "
+                "smoother tier — sparsity changed? rebuild instead"
+            )
+        self.A = A
+        if self.colored is not None:
+            self.colored.vals_d = g2.colored.vals_d
+            self.colored.invd_d = g2.colored.invd_d
+        elif self.slot_gs is not None:
+            self.slot_gs.arrs = g2.slot_gs.arrs
+        else:
+            self.color_tabs = g2.color_tabs
+
     # -- one hybrid sweep (per-part SPMD function) ---------------------
     def _sweep_once(self, xo, xg, bo, tabs, order):
         from ..ops.ell import ell_spmv

@@ -21,6 +21,28 @@ import pytest
 from partitionedarrays_tpu.backends import MeshBackend, SerialBackend
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (full HPCG driver protocols etc.)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run excludes ``slow`` tests so the suite can gate every
+    commit in minutes; ``--runslow`` restores the full protocol (the
+    reference's CI runs its three jobs unconditionally, but its driver
+    shapes are tiny — ours exercise real compiled windows)."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(params=["serial", "mesh"])
 def backend4(request):
     """A 4-part backend of each kind (mesh uses 4 of the 8 CPU devices)."""

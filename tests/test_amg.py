@@ -140,6 +140,7 @@ def test_amg_3d(backend4):
     assert np.linalg.norm(collect(x) - x_exact) < 1e-5
 
 
+@pytest.mark.slow
 def test_amg_elasticity_with_nullspace():
     backend = SerialBackend(4)
     nodes = (6, 6)

@@ -44,6 +44,7 @@ def test_optimal_shape():
     assert px * py * pz == 12
 
 
+@pytest.mark.slow
 def test_mg_preconditioned_cg_converges(backend4):
     import jax
 
@@ -65,6 +66,7 @@ def test_mg_preconditioned_cg_converges(backend4):
     assert rel[-1] < np.asarray(norms2)[-1] / np.asarray(norms2)[0]
 
 
+@pytest.mark.slow
 def test_hpcg_driver(backend4):
     report = hpcg_benchmark(
         backend4,
@@ -83,6 +85,7 @@ def test_hpcg_driver(backend4):
     assert report.flops()["total"] > report.flops()["spmv"]
 
 
+@pytest.mark.slow
 def test_ghosted_flat_cycle_matches_generic(backend4):
     """The ghosted flat V-cycle (de-interleaved smoothing + explicit
     ghost-contribution folding) must equal the generic path (spmv residual
@@ -116,6 +119,7 @@ def test_ghosted_flat_cycle_matches_generic(backend4):
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_hpcg_driver_df64_end_to_end(backend4):
     """The precision="df64" driver path end-to-end: the f64 generic
     rebuild + f32 MG preconditioner + df64 CG must deliver f64-grade
@@ -143,6 +147,7 @@ def test_hpcg_driver_df64_end_to_end(backend4):
     assert "PASSED" in report.to_txt()
 
 
+@pytest.mark.slow
 def test_hpcg_driver_executed_window(backend4):
     """The total_runtime window path (chunked executed sets) must run and
     report a consistent set count and rated figure."""
@@ -161,3 +166,22 @@ def test_hpcg_driver_executed_window(backend4):
     assert report.n_sets >= 2
     assert s["GFLOPs"]["rated"] > 0
     assert s["validation_passed"] is True
+
+
+def test_hpcg_driver_smoke(backend4):
+    """Fast default-suite driver coverage: the 3-phase protocol end-to-end
+    at a tiny shape (the full-size driver tests are marked slow and run
+    with --runslow)."""
+    report = hpcg_benchmark(
+        backend4,
+        local_shape=(4, 4, 4),
+        parts_per_dir=(2, 2, 1),
+        n_levels=2,
+        iterations=4,
+        ref_sets=1,
+        timed_sets=1,
+    )
+    s = report.summary()
+    assert s["GFLOPs"]["raw"] > 0
+    assert s["final_relres"] < 1.0
+    assert report.flops()["total"] > report.flops()["spmv"]

@@ -69,6 +69,7 @@ def test_multihost_two_process_cg():
     assert all("MULTIHOST OK" in o for o in outs)
 
 
+@pytest.mark.slow
 def test_multihost_failure_propagates():
     """An exception on one rank must take down every rank with a nonzero
     exit — no zombie processes (parity: with_mpi -> MPI.Abort,
@@ -94,6 +95,7 @@ def test_multihost_fem_local_construction():
     assert all("MULTIHOST FEM OK" in o for o in outs)
 
 
+@pytest.mark.slow
 def test_multihost_generic_amg_local_setup():
     """Rank-local setup ALGEBRA (round-3 VERDICT missing #1): 2 processes,
     per-process FEM operator, distributed spmm + a full generic
