@@ -148,6 +148,7 @@ from .pvector import (
     pchebyshev,
     pcityblock,
     pdot,
+    pdistance,
     peuclidean,
     pfill,
     pmaximum,

@@ -1583,37 +1583,75 @@ def spmv(
     return PVector(y_own, y_ghost, rlay, backend)
 
 
-def spmtv(A: PSparseMatrix, x: PVector) -> PVector:
-    """y = A.T @ x (parity: transpose mul!, src/p_sparse_matrix.jl:2144-2162).
-    Result is partitioned by ``A.col_prange``; ghost-column contributions are
-    assembled back to their owners (reversed communication pattern)."""
-    assert A.assembled, "spmtv implemented for assembled matrices"
+def spmtv(
+    A: PSparseMatrix,
+    x: PVector,
+    alpha=1.0,
+    beta=None,
+    y: Optional[PVector] = None,
+) -> PVector:
+    """result = alpha * A.T @ x [+ beta * y] (parity: the 5-arg transpose
+    mul!, src/p_sparse_matrix.jl:2144-2162 — which, like this function,
+    asserts ``a.assembled``: the reference has no subassembled transpose
+    path either).  Result is partitioned by ``A.col_prange``; ghost-column
+    contributions are assembled back to their owners (reversed
+    communication pattern); the alpha/beta epilogue fuses into the
+    assembled result (one extra pass saved vs ``alpha*spmtv(...)+beta*y``)."""
+    assert A.assembled, (
+        "spmtv requires an assembled matrix (the reference's transpose mul! "
+        "asserts a.assembled too, src/p_sparse_matrix.jl:2146)"
+    )
     ooT, ohT = A.device_transpose()
     clay = A.col_layout()
     backend = A.backend
     has_cg = clay.n_ghost_pad > 0 and clay.assemble_plan.n_rounds > 0
+    has_alpha = not (isinstance(alpha, (int, float)) and alpha == 1.0)
+    has_y = y is not None
+    if has_y and beta is None:
+        beta = 1.0
+    P = clay.n_parts
+
+    def _b(s, dtype):
+        return jnp.broadcast_to(jnp.asarray(s, dtype), (P,))
+
+    extras = ()
+    if has_alpha:
+        extras += (_b(alpha, x.own.dtype),)
+    if has_y:
+        extras += (_b(beta, x.own.dtype), y.own)
+
+    def epilogue(out, rest):
+        i = 0
+        if has_alpha:
+            out = rest[i] * out
+            i += 1
+        if has_y:
+            out = out + rest[i] * rest[i + 1]
+        return out
 
     if has_cg:
         def make_f():
-            def f(xo, aplan, ooT, ohT):
+            def f(xo, aplan, ooT, ohT, *rest):
                 yo = ooT.spmv(xo)
                 yg = ohT.spmv(xo)
                 yo = aplan.apply(yg, yo, "add")
-                return yo
+                return epilogue(yo, rest)
 
             return f
 
-        y_own = backend.spmd_cached(("spmtv_cg",), make_f)(
-            x.own, clay.assemble_plan, ooT, ohT
+        y_own = backend.spmd_cached(("spmtv_cg", has_alpha, has_y), make_f)(
+            x.own, clay.assemble_plan, ooT, ohT, *extras
         )
     else:
         def make_f():
-            def f(xo, ooT):
-                return ooT.spmv(xo)
+            def f(xo, ooT, *rest):
+                return epilogue(ooT.spmv(xo), rest)
 
             return f
 
-        y_own = backend.spmd_cached(("spmtv",), make_f)(x.own, ooT)
+        y_own = backend.spmd_cached(("spmtv", has_alpha, has_y), make_f)(
+            x.own, ooT, *extras
+        )
     y_ghost = jnp.zeros((clay.n_parts, clay.n_ghost_pad), dtype=y_own.dtype)
     return PVector(y_own, y_ghost, clay, backend)
 

@@ -161,11 +161,33 @@ class PVector:
         return PVector(self.own, self.ghost, self.layout, self.backend)
 
     def __eq__(self, other):
+        """Value equality over OWN indices on compatible partitions
+        (parity: ==, src/p_vector.jl:1092-1096 — which boundschecks
+        matching_own_indices and compares own values; object identity of
+        the partitions is NOT required)."""
         if not isinstance(other, PVector):
             return NotImplemented
+        if self.n_global != other.n_global:
+            return False
+        if self.layout is not other.layout:
+            from .parallel.p_range import matching_own_indices
+
+            if self.layout.n_parts != other.layout.n_parts or not all(
+                matching_own_indices(a, b)
+                for a, b in zip(
+                    self.layout.pr.partition(), other.layout.pr.partition()
+                )
+            ):
+                raise ValueError(
+                    "PVector ==: partitions do not have matching own indices"
+                )
+        # matching own indices => identical [P, n_own_pad] shape; compare
+        # masked own values (pads excluded)
+        m = _own_mask(self.layout)
         return bool(
-            jnp.array_equal(self.own, other.own)
-            and self.layout.pr is other.layout.pr
+            jnp.array_equal(
+                jnp.where(m, self.own, 0), jnp.where(m, other.own, 0)
+            )
         )
 
 
@@ -618,6 +640,45 @@ def pcityblock(x: PVector, y: PVector):
         lambda: (lambda a, b: jax.lax.psum(jnp.sum(jnp.abs(a - b)), "parts")),
     )
     return f(x.own, y.own)[0]
+
+
+def pdistance(
+    x: PVector,
+    y: PVector,
+    eval_op,
+    reduce: str = "sum",
+    eval_end=None,
+):
+    """Generic user-supplied metric over own values (parity: the
+    Distances.jl support, src/p_vector.jl:1279-1319, whose contract is
+    eval_op per element -> eval_reduce across elements/parts -> eval_end).
+
+    ``eval_op(a, b)`` maps the stacked own-value arrays elementwise (any
+    jnp-vectorized function); ``reduce`` is "sum", "max" or "min" (the
+    cross-element and cross-part reduction); ``eval_end`` optionally
+    finalizes the reduced scalar (e.g. ``jnp.sqrt``).  Pad lanes are
+    masked with the reduction's identity, so user metrics need no
+    padding awareness."""
+    if reduce not in ("sum", "max", "min"):
+        raise ValueError(f"reduce must be sum/max/min, got {reduce!r}")
+    lay = x.layout
+    backend = x.backend
+    ax = backend.axis_name()
+    fill = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}[reduce]
+    local = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min}[reduce]
+    glob = {"sum": jax.lax.psum, "max": jax.lax.pmax, "min": jax.lax.pmin}[reduce]
+
+    def make_f():
+        def f(a, b, m):
+            vals = jnp.where(m, eval_op(a, b), fill)
+            return glob(local(vals), ax)
+
+        return f
+
+    s = backend.spmd_cached(("pdistance", eval_op, reduce), make_f)(
+        x.own, y.own, _own_mask(lay)
+    )[0]
+    return eval_end(s) if eval_end is not None else s
 
 
 def pchebyshev(x: PVector, y: PVector):

@@ -43,10 +43,15 @@ per-step costs:
   per application, ghost contributions folded into b
   (consistent! once per smooth, smoothers.jl:104-105).
 
-Capability parity: the reference's sequential-within-part gauss_seidel
-(/root/reference/PartitionedSolvers/src/smoothers.jl:82-205); the wave
-ordering is exposed via ``schedules`` so validation can reproduce the
-exact permuted sweep.
+Capability parity: a sequential-within-part Gauss-Seidel in the same
+role as the reference's gauss_seidel
+(/root/reference/PartitionedSolvers/src/smoothers.jl:82-205) — but NOT
+in the reference's natural row order: tiles update in WAVE-MAJOR order
+(natural within each 128-row tile).  Any GS ordering is a valid exact
+Gauss-Seidel, so smoothing quality is equivalent, but iterates are not
+bitwise reference-identical (the earlier natural-order tile GS was).
+The ordering is exposed via ``schedules`` so validation reproduces the
+exact permuted sweep; see docs/design.md.
 """
 from __future__ import annotations
 
@@ -367,10 +372,26 @@ class NaturalTileGS:
         # identical on every process — a one-sided None here would desync
         # the collective setup (GaussSeidel fallback raises on one rank
         # while the others wait in the next allgather)
+        # idx + vals + the STREAMED one-hot routing (Q x window — dominant
+        # when the window is large) + both packed factor planes
         ent_bytes = (
-            Q * 128 * (1 + dtype.itemsize) + 2 * 128 * 128 * dtype.itemsize
+            Q * 128 * (1 + dtype.itemsize)
+            + Q * meta.window * dtype.itemsize
+            + 2 * 128 * 128 * dtype.itemsize
         )
         if P * W * B * ent_bytes > _MAX_SLOT_BYTES:
+            return None
+        # per-grid-step VMEM slab: one wave's streamed operands (idx, vals,
+        # one-hot, double-buffered factor plane), the triangle masks and the
+        # resident x/b planes must fit VMEM — without this check a large
+        # (Q, window) passes the HBM budget above and then fails hard in
+        # Mosaic compilation instead of declining to the colored tier
+        step_bytes = (
+            B * Q * (128 * (1 + dtype.itemsize) + meta.window * dtype.itemsize)
+            + 4 * B * 128 * 128 * dtype.itemsize  # dpack (x2 buffering) + masks
+            + 2 * meta.s_total * 128 * dtype.itemsize  # x and b planes
+        )
+        if step_bytes > 12 * 1024 * 1024:
             return None
         # entry-order arrays: wave-major with all-zero padding entries
         # (zero slots, zero factors, zero b -> they write 0 to pad_row)
@@ -530,9 +551,13 @@ class NaturalTileGS:
             sel = 0 if d == "f" else 1
             msk = le if d == "f" else ge
             for w in waves:
-                # snapshot BEFORE the wave: entries within a wave are
-                # mutually uncoupled, so reading the pre-wave plane for
-                # windows is exact (and mirrors the kernel's semantics)
+                # ACTUAL pre-wave snapshot: the kernel reads the x plane
+                # as it stood when the wave started.  Entries within a
+                # wave are mutually uncoupled, so an eager xf would give
+                # the same numbers — but then a future scheduling bug
+                # (coupled tiles packed into one wave) would make twin and
+                # kernel diverge silently instead of the twin catching it.
+                xf_wave = xf
                 for j in range(B):
                     t = tid[w * B + j]
                     y = slot_spmv_ref(
@@ -540,13 +565,13 @@ class NaturalTileGS:
                         evals[w, j][None],
                         esrow[w, j, :Q][None],
                         ebase[w * B + j][None],
-                        xf,
+                        xf_wave,
                         meta_t,
                     )
                     pp = dpack[sel * W + w, j * 128 : (j + 1) * 128]
                     m1 = jnp.where(msk, pp, 0)
                     m2 = pp - m1
-                    x_old = jax.lax.dynamic_slice(xf, (t * 128,), (128,))
+                    x_old = jax.lax.dynamic_slice(xf_wave, (t * 128,), (128,))
                     contrib = x_old @ m2
                     rhs = (
                         jax.lax.dynamic_slice(bf, (t * 128,), (128,))

@@ -69,11 +69,24 @@ def main():
     from partitionedarrays_tpu.solvers.krylov import cg
     from partitionedarrays_tpu.solvers.smoothers import GaussSeidel
 
+    from partitionedarrays_tpu.utils.ptimer import PTimer
+
+    timer = PTimer()
     n = 6  # local box 6x6x6 per part
     parts = (1, 1, P)
+    timer.tic("setup")
     A, b = build_hpcg_problem((n, n, n), parts, backend, dtype=np.float64)
     M = GaussSeidel(A, 1, "symmetric")
+    timer.toc("setup")
+    timer.tic("solve")
     x, info = cg(A, b, M=M, rtol=1e-8, maxiter=200)
+    timer.toc("solve")
+    # cross-process timer statistics (parity: the reference's gather of
+    # per-rank times to MAIN with min/max/avg, src/p_timer.jl:46-84)
+    stats = timer.gather_statistics(backend)
+    assert stats["setup"]["procs"] == nproc, "timer did not span processes"
+    assert stats["solve"]["min"] <= stats["solve"]["avg"] <= stats["solve"]["max"]
+    timer.print_main(backend)
 
     # every process checks ITS OWN shards against the global scipy solve
     # (setup metadata is replicated, so the reference solution is available

@@ -228,3 +228,86 @@ def test_pvector_local_matches_generic(backend4):
     for p, li in enumerate(ref.layout.pr.partition()):
         r = np.asarray(ref.own)[p, : li.n_own]
         assert np.abs(r - exp[li.own_to_global]).max() < 1e-10
+
+
+def test_pvector_eq_value_semantics(backend4):
+    """== compares values over own indices on compatible partitions —
+    object identity of the partitions is NOT required (parity: ==,
+    src/p_vector.jl:1092-1096)."""
+    from partitionedarrays_tpu.parallel.p_range import PRange, uniform_partition
+    from partitionedarrays_tpu.pvector import pvector_from_own
+
+    pr1 = PRange(uniform_partition(4, 20))
+    pr2 = PRange(uniform_partition(4, 20))  # distinct object, same layout
+    vals = [np.arange(li.n_own, dtype=np.float64) + li.part for li in pr1.partition()]
+    a = pvector_from_own(vals, pr1, backend4)
+    b = pvector_from_own([v.copy() for v in vals], pr2, backend4)
+    assert a == b
+    vals2 = [v.copy() for v in vals]
+    vals2[2][0] += 1.0
+    c = pvector_from_own(vals2, pr2, backend4)
+    assert not (a == c)
+    # incompatible own indices raise (the reference boundschecks)
+    pr3 = PRange(uniform_partition(4, 24))
+    d = pvector_from_own(
+        [np.zeros(li.n_own) for li in pr3.partition()], pr3, backend4
+    )
+    assert not (a == d)  # different global length -> plain False
+
+
+def test_pdistance_generic_metric(backend4):
+    """User-supplied metric over PVector pairs (parity: the Distances.jl
+    metric support, src/p_vector.jl:1279-1319)."""
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.parallel.p_range import PRange, uniform_partition
+    from partitionedarrays_tpu.pvector import pdistance, pvector_from_own
+
+    rng = np.random.default_rng(2)
+    pr = PRange(uniform_partition(4, 37))
+    xs = [rng.standard_normal(li.n_own) for li in pr.partition()]
+    ys = [rng.standard_normal(li.n_own) for li in pr.partition()]
+    x = pvector_from_own(xs, pr, backend4)
+    y = pvector_from_own(ys, pr, backend4)
+    xg, yg = np.concatenate(xs), np.concatenate(ys)
+
+    def minkowski3(a, b):
+        return jnp.abs(a - b) ** 3
+
+    got = float(pdistance(x, y, minkowski3, "sum", lambda s: s ** (1.0 / 3.0)))
+    exp = (np.abs(xg - yg) ** 3).sum() ** (1.0 / 3.0)
+    assert abs(got - exp) < 1e-10 * max(exp, 1.0)
+
+    def absdiff(a, b):
+        return jnp.abs(a - b)
+
+    got = float(pdistance(x, y, absdiff, "max"))
+    assert abs(got - np.abs(xg - yg).max()) < 1e-12
+
+
+def test_spmtv_five_arg(backend4):
+    """alpha/beta epilogue of the transpose SpMV (parity: 5-arg transpose
+    mul!, src/p_sparse_matrix.jl:2144-2162)."""
+    from partitionedarrays_tpu.models.gallery import laplacian_fem
+    from partitionedarrays_tpu.parallel.p_range import PRange
+    from partitionedarrays_tpu.psparse import psparse, spmtv, to_global_scipy
+    from partitionedarrays_tpu.pvector import collect, pvector_from_own
+
+    I, J, V, rows, cols = laplacian_fem((6, 6), (2, 2))
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend4,
+                assembled=False, assemble=True)
+    rng = np.random.default_rng(3)
+    xg = rng.standard_normal(A.shape[0])
+    yg = rng.standard_normal(A.shape[1])
+    x = pvector_from_own(
+        [xg[li.own_to_global] for li in A.row_prange.partition()],
+        A.row_prange, backend4,
+    )
+    y = pvector_from_own(
+        [yg[li.own_to_global] for li in A.col_prange.partition()],
+        A.col_prange, backend4,
+    )
+    got = collect(spmtv(A, x, alpha=2.5, beta=-0.5, y=y))
+    G = to_global_scipy(A)
+    exp = 2.5 * (G.T @ xg) - 0.5 * yg
+    np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-12)
