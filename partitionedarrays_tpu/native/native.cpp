@@ -145,4 +145,46 @@ int64_t vanek_aggregate(
   return next_agg;
 }
 
+// ILU(0): incomplete LU with zero fill, in place on a CANONICAL CSR
+// (sorted indices, diagonal present in every row).  On return, strict
+// lower entries hold L (unit diagonal implicit) and diagonal+upper hold
+// U — the combined storage of the classic IKJ algorithm.  Zero/tiny
+// pivots are perturbed to keep the factorization finite.  Returns the
+// number of perturbed pivots.
+int64_t ilu0(
+    const int64_t* indptr, const int64_t* indices, double* data, int64_t n) {
+  std::vector<int64_t> pos(n, -1);      // column -> position in row i
+  std::vector<int64_t> diagpos(n, -1);  // per-row diagonal position
+  int64_t perturbed = 0;
+  double scale = 0.0;
+  for (int64_t p = 0; p < indptr[n]; ++p) scale += std::fabs(data[p]);
+  scale = scale > 0 ? scale / indptr[n] : 1.0;
+  const double tiny = 1e-12 * scale;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = indptr[i], hi = indptr[i + 1];
+    for (int64_t p = lo; p < hi; ++p) {
+      pos[indices[p]] = p;
+      if (indices[p] == i) diagpos[i] = p;
+    }
+    for (int64_t p = lo; p < hi; ++p) {
+      const int64_t k = indices[p];
+      if (k >= i) break;  // sorted: strict-lower prefix
+      const int64_t dk = diagpos[k];
+      data[p] /= data[dk];
+      const double lik = data[p];
+      for (int64_t q = dk + 1; q < indptr[k + 1]; ++q) {
+        const int64_t pp = pos[indices[q]];
+        if (pp >= 0) data[pp] -= lik * data[q];
+      }
+    }
+    if (diagpos[i] < 0) return -1;  // structurally missing diagonal
+    if (std::fabs(data[diagpos[i]]) < tiny) {
+      data[diagpos[i]] = data[diagpos[i]] >= 0 ? tiny : -tiny;
+      ++perturbed;
+    }
+    for (int64_t p = lo; p < hi; ++p) pos[indices[p]] = -1;
+  }
+  return perturbed;
+}
+
 }  // extern "C"

@@ -51,6 +51,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.vanek_aggregate.restype = ctypes.c_int64
             lib.vanek_aggregate.argtypes = [I64, I64, F64, ctypes.c_int64,
                                             ctypes.c_double, I64]
+            lib.ilu0.restype = ctypes.c_int64
+            lib.ilu0.argtypes = [I64, I64, F64, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = False
@@ -118,3 +120,91 @@ def vanek_aggregate_native(A, eps: float) -> Optional[np.ndarray]:
         _ptr(data, ctypes.c_double), n, float(eps), _ptr(agg, ctypes.c_int64),
     )
     return agg
+
+
+def ilu0(A):
+    """ILU(0) of a square CSR matrix (zero fill): returns (L, U) with L
+    unit-lower (unit diagonal stored explicitly) and U upper triangular,
+    both canonical CSR with exactly A's lower/upper patterns — the
+    classic combined-storage IKJ factorization.  Native C++ with a
+    python fallback.  The factorization perturbs zero/tiny pivots
+    instead of failing (it is a PRECONDITIONER factor)."""
+    import scipy.sparse as sp
+
+    A = A.tocsr()
+    if not A.has_sorted_indices:
+        A = A.copy()
+        A.sort_indices()
+    n = A.shape[0]
+    # ensure a structural diagonal (ILU(0) requires it): add explicit
+    # zeros where the pattern lacks (i, i)
+    rows_all = np.repeat(np.arange(n), np.diff(A.indptr))
+    diag_missing = np.setdiff1d(
+        np.arange(n), A.indices[rows_all == A.indices], assume_unique=False
+    )
+    if diag_missing.size:
+        A = (A + sp.csr_matrix(
+            (np.zeros(diag_missing.size), (diag_missing, diag_missing)),
+            shape=A.shape,
+        )).tocsr()
+        A.sort_indices()
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    data = np.ascontiguousarray(A.data, dtype=np.float64).copy()
+    lib = _load()
+    if lib is not None:
+        rc = lib.ilu0(
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+            _ptr(data, ctypes.c_double), n,
+        )
+        if rc < 0:
+            raise ValueError("ilu0: structurally missing diagonal")
+    else:
+        _ilu0_python(indptr, indices, data, n)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    lower = rows > indices
+    upper = ~lower
+    L = sp.csr_matrix(
+        (
+            np.concatenate([data[lower], np.ones(n)]),
+            (
+                np.concatenate([rows[lower], np.arange(n)]),
+                np.concatenate([indices[lower], np.arange(n)]),
+            ),
+        ),
+        shape=A.shape,
+    )
+    U = sp.csr_matrix((data[upper], (rows[upper], indices[upper])), shape=A.shape)
+    L.sort_indices()
+    U.sort_indices()
+    return L, U
+
+
+def _ilu0_python(indptr, indices, data, n):
+    """Pure-python IKJ fallback (slow; only without a C++ toolchain)."""
+    pos = np.full(n, -1, dtype=np.int64)
+    diagpos = np.full(n, -1, dtype=np.int64)
+    scale = np.abs(data).mean() if data.size else 1.0
+    tiny = 1e-12 * max(scale, 1e-300)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        for p in range(lo, hi):
+            pos[indices[p]] = p
+            if indices[p] == i:
+                diagpos[i] = p
+        for p in range(lo, hi):
+            k = indices[p]
+            if k >= i:
+                break
+            dk = diagpos[k]
+            data[p] /= data[dk]
+            lik = data[p]
+            for q in range(dk + 1, indptr[k + 1]):
+                pp = pos[indices[q]]
+                if pp >= 0:
+                    data[pp] -= lik * data[q]
+        if diagpos[i] < 0:
+            raise ValueError("ilu0: structurally missing diagonal")
+        if abs(data[diagpos[i]]) < tiny:
+            data[diagpos[i]] = tiny if data[diagpos[i]] >= 0 else -tiny
+        pos[indices[lo:hi]] = -1

@@ -70,23 +70,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m if x > 0 else 0
 
 
-def _wave_schedule(adj, nt: int, B: int) -> List[List[int]]:
+def _wave_schedule(adj, nt: int, B: int, topo: bool = False) -> List[List[int]]:
     """Greedy first-fit capacity-B schedule: tiles in natural order land
     in the first wave with free capacity containing none of their
     neighbors.  Any such assignment yields an exact GS for the wave-major
-    ordering (tiles within a wave are mutually uncoupled)."""
+    ordering (tiles within a wave are mutually uncoupled).
+
+    ``topo=True`` additionally constrains every tile to a wave STRICTLY
+    AFTER all its already-placed (lower-index) neighbors — i.e. classic
+    level scheduling.  For a triangular matrix this makes the forward
+    wave-major sweep from zero guess an EXACT lower-triangular solve
+    (and the reverse sweep an exact upper solve): every dependency is
+    computed in an earlier wave, every not-yet-needed value is still
+    zero."""
     waves: List[List[int]] = []
     wave_sets: List[set] = []
+    wave_of = {}
     for t in range(nt):
         at = adj[t]
-        for w, ws in enumerate(wave_sets):
-            if len(waves[w]) < B and not (at & ws):
+        start = 0
+        if topo:
+            placed = [wave_of[s] for s in at if s in wave_of]
+            start = max(placed) + 1 if placed else 0
+        for w in range(start, len(waves)):
+            if len(waves[w]) < B and not (at & wave_sets[w]):
                 waves[w].append(t)
-                ws.add(t)
+                wave_sets[w].add(t)
+                wave_of[t] = w
                 break
         else:
             waves.append([t])
             wave_sets.append({t})
+            wave_of[t] = len(waves) - 1
     return waves
 
 
@@ -170,10 +185,13 @@ def _wave_sweep_pallas(
 
             # fwd entries solve with the lower-incl-diag triangle of the
             # packed (transposed) plane = upper-incl-diag mask; bwd the
-            # mirror.  Recomputed only at direction transitions.
-            @pl.when(mf_ref[i] == 1)
+            # mirror.  Recomputed only at direction transitions; mflag
+            # ENCODES the direction (1 = fwd, 2 = bwd) — it cannot be
+            # derived from the slab index once single-direction packing
+            # (directions=("b",)) puts bwd slabs at [0, W)
+            @pl.when(mf_ref[i] > 0)
             def _mask():
-                f = (d_ref[i] < W).astype(x_ref.dtype)
+                f = (mf_ref[i] == 1).astype(x_ref.dtype)
                 msk_ref[...] = f * mk_ref[0] + (1.0 - f) * mk_ref[1]
 
             mask = msk_ref[...]  # (B*128, 128)
@@ -246,7 +264,13 @@ class NaturalTileGS:
     exact wave-major GS ordering."""
 
     @classmethod
-    def build(cls, A) -> Optional["NaturalTileGS"]:
+    def build(
+        cls, A, topo: bool = False, directions=("f", "b")
+    ) -> Optional["NaturalTileGS"]:
+        """``directions``: which sweep directions to pack factors for.
+        The triangular-solve use (AdditiveSchwarz ilu0 tier) needs only
+        one direction per factor — packing both would double the dominant
+        dense-factor stream and its HBM footprint for nothing."""
         from ..ops.slot_spmv import (
             _MAX_Q,
             _MAX_SLOT_BYTES,
@@ -293,7 +317,7 @@ class NaturalTileGS:
             for a, b_ in set(zip(tr[~inside].tolist(), tc[~inside].tolist())):
                 adj[a].add(b_)
                 adj[b_].add(a)
-            schedules.append(_wave_schedule(adj, nt, B))
+            schedules.append(_wave_schedule(adj, nt, B, topo=topo))
         W = max((len(s) for s in schedules), default=1)
         W = max(W, 1)
         # shrink B to the max achieved occupancy: on densely-coupled tile
@@ -404,8 +428,11 @@ class NaturalTileGS:
         tid = np.full((nparts, W * B), pad_row, np.int32)
         ebase = np.zeros((nparts, W * B), np.int32)
         # packed factors STACKED per wave (B*128, 128): the kernel's
-        # block-diagonal whole-wave matmuls read them as one operand
-        dpack = np.zeros((nparts, 2 * W, B * 128, 128), dtype)
+        # block-diagonal whole-wave matmuls read them as one operand.
+        # Only the requested directions are packed (fwd slabs first).
+        both = len(directions) == 2
+        n_dir = 2 if both else 1
+        dpack = np.zeros((nparts, n_dir * W, B * 128, 128), dtype)
         for k in range(nparts):
             for w, wave in enumerate(schedules[k]):
                 for j, t in enumerate(wave):
@@ -418,8 +445,12 @@ class NaturalTileGS:
                     )
                     tid[k, w * B + j] = t
                     ebase[k, w * B + j] = plan.base[k, t]
-                    dpack[k, w, j * 128 : (j + 1) * 128] = pack_f[k, t]
-                    dpack[k, W + w, j * 128 : (j + 1) * 128] = pack_b[k, t]
+                    if both:
+                        dpack[k, w, j * 128 : (j + 1) * 128] = pack_f[k, t]
+                        dpack[k, W + w, j * 128 : (j + 1) * 128] = pack_b[k, t]
+                    else:
+                        pk = pack_f if directions[0] == "f" else pack_b
+                        dpack[k, w, j * 128 : (j + 1) * 128] = pk[k, t]
         # triangle-split masks for the stacked layout (within each
         # 128-block): VMEM-resident, selected per direction in-kernel
         r_io, c_io = np.indices((128, 128))
@@ -439,6 +470,7 @@ class NaturalTileGS:
         self.schedules = schedules
         self.parts = parts
         self._masks = masks
+        self.directions = tuple(directions)
         self._steps_cache = {}
         shard = A.backend.shard
         stacks = (eidx, evals, esrow, eoh, tid, ebase, dpack)
@@ -471,20 +503,36 @@ class NaturalTileGS:
         got = self._steps_cache.get(key)
         if got is None:
             W = self.W
-            w_parts, d_parts = [], []
+            dirs = getattr(self, "directions", ("f", "b"))
+            w_parts, d_parts, f_parts = [], [], []
             for d in dir_seq:
+                if d not in dirs:
+                    raise ValueError(
+                        f"direction {d!r} was not packed (directions={dirs})"
+                    )
+                # single-direction packs live at slab [0, W); with both,
+                # bwd slabs follow at [W, 2W)
+                boff = W if (d == "b" and len(dirs) == 2) else 0
                 if d == "f":
                     w_parts.append(np.arange(W, dtype=np.int32))
                     d_parts.append(np.arange(W, dtype=np.int32))
+                    f_parts.append(np.ones(W, dtype=np.int32))
                 else:
                     rev = np.arange(W - 1, -1, -1, dtype=np.int32)
                     w_parts.append(rev)
-                    d_parts.append(W + rev)
+                    d_parts.append(boff + rev)
+                    f_parts.append(np.zeros(W, dtype=np.int32))
             wblk = np.concatenate(w_parts)
             dblk = np.concatenate(d_parts)
-            fwd = (dblk < W).astype(np.int32)
-            mflag = np.ones_like(dblk)
-            mflag[1:] = (fwd[1:] != fwd[:-1]).astype(np.int32)
+            # direction flag comes from dir_seq, NOT the slab index: with
+            # single-direction ("b",) packing the bwd slabs live at [0, W).
+            # mflag: 0 = keep mask, 1 = recompute FWD, 2 = recompute BWD
+            fwd = np.concatenate(f_parts)
+            recompute = np.ones_like(dblk, dtype=bool)
+            recompute[1:] = fwd[1:] != fwd[:-1]
+            mflag = np.where(recompute, np.where(fwd == 1, 1, 2), 0).astype(
+                np.int32
+            )
             got = (wblk, dblk, mflag)
             self._steps_cache[key] = got
         return got
