@@ -482,6 +482,154 @@ def hpcg_df64_rating():
     )
 
 
+def df64_amg_cg_bench():
+    """GENERIC-solver df64 tier (round-4 VERDICT next-round #2): an
+    AMG(f32)-preconditioned cg_df64 solve of the 3-D laplacian_fdm on the
+    real chip, hitting the reference's f64 tolerances (relres <= 1e-9).
+    Returns (iters, relres, solve_ms, rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.parallel.p_range import PRange
+    from partitionedarrays_tpu.psparse import psparse, to_global_scipy
+    from partitionedarrays_tpu.pvector import PVector, collect_df64, pvector_df64
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+    from partitionedarrays_tpu.solvers.krylov import cg_df64
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    I, J, V, rows, cols = laplacian_fdm((48, 48, 48), (1, 1, 1))
+    A = psparse(I, J, V, PRange(rows), PRange(cols), backend, assembled=True)
+    rng = np.random.default_rng(7)
+    xg = rng.standard_normal(A.shape[0])
+    G = to_global_scipy(A)
+    bg = G @ xg
+    b = pvector_df64(
+        [bg[li.own_to_global] for li in A.row_prange.partition()],
+        A.row_prange, backend,
+    )
+    M = AMGPreconditioner(A.astype(np.float32), AMGParams(coarse_size=200))
+    x_pair, info = cg_df64(A, b, M=M, rtol=1e-10, maxiter=300)
+    xs = collect_df64(x_pair)
+    relres = float(np.linalg.norm(G @ xs - bg) / np.linalg.norm(bg))
+    iters = int(np.asarray(info.iterations))
+
+    bh, bl = b
+
+    def make_chain(k):
+        @jax.jit
+        def run(A, M, bho, blo):
+            def body(i, acc):
+                bp = (
+                    PVector(bho * (1.0 + 1e-9 * i), bh.ghost, bh.layout, backend),
+                    PVector(blo, bl.ghost, bl.layout, backend),
+                )
+                xp, _ = cg_df64(A, bp, M=M, rtol=1e-10, maxiter=300)
+                return acc + jnp.sum(xp[0].own[:, :8])
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        return run
+
+    dt = slope_time_per_iter(
+        make_chain, (A, M, bh.own, bl.own), k_small=1, k_big=4, repeats=5
+    )
+    return iters, relres, dt * 1e3, A.shape[0]
+
+
+def newton_reuse_bench():
+    """The fixed-sparsity re-assembly path of a Newton/ODE step at HPCG
+    scale (round-4 VERDICT next-round #1/#5/#9): psparse(reuse=True)
+    cache-build time at 64^3, then the per-step cost of re-filling the
+    operator values (psparse_refill) + re-coarsening the AMG hierarchy
+    through the frozen plans (update).  Returns
+    (reuse_build_s, refill_s, update_s, rows)."""
+    import jax
+
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.parallel.p_range import PRange
+    from partitionedarrays_tpu.psparse import psparse, psparse_refill
+    from partitionedarrays_tpu.solvers.amg import AMGParams, AMGPreconditioner
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    I, J, V, rows, cols = laplacian_fdm((64, 64, 64), (1, 1, 1), dtype=np.float32)
+    t0 = time.perf_counter()
+    A, cache = psparse(
+        I, J, V, PRange(rows), PRange(cols), backend, assembled=True, reuse=True
+    )
+    t_build = time.perf_counter() - t0
+    M = AMGPreconditioner(A, AMGParams(coarse_size=200))
+    V2 = [1.1 * v for v in V]
+    t0 = time.perf_counter()
+    psparse_refill(A, V2, cache)
+    t_refill = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    M.update(A)
+    t_update = time.perf_counter() - t0
+    return t_build, t_refill, t_update, A.shape[0]
+
+
+def schwarz_bench():
+    """Sparse additive Schwarz (ILU(0) + wave-scheduled exact triangular
+    solves) at a 32^3-row part of the 27-pt operator — the size the dense
+    tier cannot touch (4.3 GB of factors).  Returns
+    (apply_ms, cg_iters, rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partitionedarrays_tpu.backends import MeshBackend
+    from partitionedarrays_tpu.models.hpcg.problem import build_hpcg_problem
+    from partitionedarrays_tpu.pvector import PVector
+    from partitionedarrays_tpu.solvers.krylov import cg
+    from partitionedarrays_tpu.solvers.smoothers import AdditiveSchwarz
+
+    backend = MeshBackend(devices=jax.devices()[:1])
+    A, b = build_hpcg_problem((32, 32, 32), (1, 1, 1), backend)
+    S = AdditiveSchwarz(A, mode="ilu0")
+    rlay = A.row_layout()
+
+    def make_loop(k):
+        @jax.jit
+        def run(S, own):
+            def body(i, own):
+                r = PVector(
+                    own, jnp.zeros((1, rlay.n_ghost_pad), jnp.float32),
+                    rlay, backend,
+                )
+                return S(r).own * 0.5
+
+            own = jax.lax.fori_loop(0, k, body, own)
+            return jnp.sum(own[:, :8])
+
+        return run
+
+    dt = slope_time_per_iter(make_loop, (S, b.own), k_small=4, k_big=36)
+    x, info = cg(A, b, M=S, rtol=1e-6, maxiter=200)
+    return dt * 1e3, int(np.asarray(info.iterations)), A.shape[0]
+
+
+def _official_window_fields():
+    """Quote the EXECUTED official 1800 s window artifacts when present
+    (run_official_window.py; round-4 VERDICT next-round #4)."""
+    import os
+
+    out = {}
+    for tag in ("f32", "df64"):
+        path = os.path.join(os.path.dirname(__file__), f"WINDOW_r05_{tag}.json")
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                s = json.load(f)["summary"]
+            out[f"hpcg_gflops_rated_1800s_executed_{tag}"] = s["GFLOPs"]["rated"]
+            out[f"hpcg_window_{tag}"] = s.get("phase3_window")
+        except Exception:
+            pass
+    return out
+
+
 def main():
     import jax
 
@@ -530,6 +678,35 @@ def main():
     except Exception as e:
         elast_amg = {"elast_amg_setup_s": None, "elast_amg_error": repr(e)[:200]}
     try:
+        dfc_iters, dfc_res, dfc_ms, dfc_rows = df64_amg_cg_bench()
+        df64cg = {
+            "df64cg_amg_iters": dfc_iters,
+            "df64cg_relres": dfc_res,
+            "df64cg_solve_ms": round(dfc_ms, 2),
+            "df64cg_rows": dfc_rows,
+        }
+    except Exception as e:
+        df64cg = {"df64cg_relres": None, "df64cg_error": repr(e)[:200]}
+    try:
+        nr_build, nr_refill, nr_update, nr_rows = newton_reuse_bench()
+        newton = {
+            "reuse_cache_build_s": round(nr_build, 2),
+            "newton_refill_s": round(nr_refill, 3),
+            "newton_update_s": round(nr_update, 3),
+            "newton_rows": nr_rows,
+        }
+    except Exception as e:
+        newton = {"reuse_cache_build_s": None, "newton_error": repr(e)[:200]}
+    try:
+        sw_ms, sw_iters, sw_rows = schwarz_bench()
+        schwarz = {
+            "schwarz_ilu0_apply_ms": round(sw_ms, 3),
+            "schwarz_ilu0_cg_iters": sw_iters,
+            "schwarz_rows": sw_rows,
+        }
+    except Exception as e:
+        schwarz = {"schwarz_ilu0_apply_ms": None, "schwarz_error": repr(e)[:200]}
+    try:
         df_raw, df_rated, df_res, df_valid = hpcg_df64_rating()
         df64 = {
             "hpcg_gflops_raw_df64": df_raw,
@@ -567,8 +744,12 @@ def main():
             "amg64_update_s": amg_update_s,
             "amg64_cg_iters_1e8": amg_iters,
             **df64,
+            **df64cg,
+            **newton,
+            **schwarz,
             **ell,
             **elast_amg,
+            **_official_window_fields(),
         },
     }
     print(json.dumps(result))

@@ -278,7 +278,7 @@ from .solvers.interfaces import (
     smooth,
     solve,
 )
-from .solvers.nonlinear import NewtonInfo, newton_raphson
+from .solvers.nonlinear import NewtonInfo, newton_krylov, newton_raphson
 from .solvers.ode import backward_euler, single_stage_solver
 
 # -- gallery / benchmarks (L7) ----------------------------------------------
