@@ -178,9 +178,11 @@ class PVector:
                     self.layout.pr.partition(), other.layout.pr.partition()
                 )
             ):
-                raise ValueError(
-                    "PVector ==: partitions do not have matching own indices"
-                )
+                # the reference BOUNDSCHECK-asserts compatibility
+                # (src/p_vector.jl:1093); a python dunder must stay total
+                # (`v in list`, dict lookups), so incompatible partitions
+                # compare unequal instead of raising
+                return False
         # matching own indices => identical [P, n_own_pad] shape; compare
         # masked own values (pads excluded)
         m = _own_mask(self.layout)
@@ -658,7 +660,11 @@ def pdistance(
     cross-element and cross-part reduction); ``eval_end`` optionally
     finalizes the reduced scalar (e.g. ``jnp.sqrt``).  Pad lanes are
     masked with the reduction's identity, so user metrics need no
-    padding awareness."""
+    padding awareness.
+
+    NOTE: the compiled program is cached on the IDENTITY of ``eval_op``
+    — pass a stable (module-level) function, not a fresh lambda per
+    call, or every call re-traces and the cache retains each lambda."""
     if reduce not in ("sum", "max", "min"):
         raise ValueError(f"reduce must be sum/max/min, got {reduce!r}")
     lay = x.layout

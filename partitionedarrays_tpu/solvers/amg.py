@@ -732,11 +732,11 @@ class AMGPreconditioner:
             struct = None
             if struct_shapes is not None:
                 lay = current.row_layout()
-                diag_parts = [b["oo"].diagonal() for b in current.blocks]
                 from ..backends import stack_parts
 
-                dg = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
-                dinv = np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+                dinv = stack_parts(
+                    _dinv_parts(current), pad_to=lay.n_own_pad, fill=0.0
+                )
                 # z-axis (lane-dim) 3:1 pooling as a selection matmul: a
                 # strided lane slice / lane-repeat forces a full relayout
                 # on TPU, the (fz, cz) selection matmul rides the MXU for
@@ -878,9 +878,9 @@ class AMGPreconditioner:
             lev.smoother.refresh_values(current)
             if lev.struct is not None:
                 lay = current.row_layout()
-                diag_parts = [b["oo"].diagonal() for b in current.blocks]
-                dg = stack_parts(diag_parts, pad_to=lay.n_own_pad, fill=0.0)
-                dinv = np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
+                dinv = stack_parts(
+                    _dinv_parts(current), pad_to=lay.n_own_pad, fill=0.0
+                )
                 lev.struct = (
                     lev.struct[0], lev.struct[1], lev.struct[2],
                     current.backend.shard(

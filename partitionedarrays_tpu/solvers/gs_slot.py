@@ -594,9 +594,19 @@ class NaturalTileGS:
         le = jnp.asarray((r_io <= c_io))
         ge = jnp.asarray((r_io >= c_io))
         meta_t = SlotMeta(128, Q, S, 1, 128, s_total)
+        dirs = getattr(self, "directions", ("f", "b"))
         for d in dir_seq:
+            if d not in dirs:
+                raise ValueError(
+                    f"direction {d!r} was not packed (directions={dirs})"
+                )
             waves = range(W) if d == "f" else range(W - 1, -1, -1)
-            sel = 0 if d == "f" else 1
+            # slab offset must mirror _steps(): single-direction packs
+            # live at [0, W) regardless of direction — the old
+            # `sel * W + w` read PAST the packed slabs for a ("b",)-only
+            # build (the AdditiveSchwarz U factor) and silently clamped
+            # to the last wave's factors
+            boff = W if (d == "b" and len(dirs) == 2) else 0
             msk = le if d == "f" else ge
             for w in waves:
                 # ACTUAL pre-wave snapshot: the kernel reads the x plane
@@ -616,7 +626,7 @@ class NaturalTileGS:
                         xf_wave,
                         meta_t,
                     )
-                    pp = dpack[sel * W + w, j * 128 : (j + 1) * 128]
+                    pp = dpack[boff + w, j * 128 : (j + 1) * 128]
                     m1 = jnp.where(msk, pp, 0)
                     m2 = pp - m1
                     x_old = jax.lax.dynamic_slice(xf_wave, (t * 128,), (128,))

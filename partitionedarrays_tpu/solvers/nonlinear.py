@@ -189,5 +189,19 @@ def newton_krylov(
     import jax as _jax
 
     if not isinstance(x0.own, _jax.core.Tracer):
-        return _jax.jit(run)(x0)
+        # cache the jitted runner: a fresh jax.jit per call would re-trace
+        # and recompile the whole two-level while_loop on EVERY time step
+        # (same discipline as krylov.cg's bounded runner cache)
+        from .krylov import _jit_cache_get, _jit_cache_put
+
+        key = (
+            "newton_krylov", residual_fn, M,
+            _jax.tree_util.tree_structure(x0),
+            rtol, atol, maxiters, inner_rtol, inner_maxiter, jvp,
+        )
+        jitted = _jit_cache_get(key)
+        if jitted is None:
+            jitted = _jax.jit(run)
+            _jit_cache_put(key, jitted)
+        return jitted(x0)
     return run(x0)

@@ -173,11 +173,15 @@ def test_schwarz_ilu0_matches_scipy_apply(backend4):
     from partitionedarrays_tpu.pvector import pvector_from_own
     from partitionedarrays_tpu.solvers.smoothers import AdditiveSchwarz
 
-    I, J, V, rows, cols = laplacian_fem((10, 10), (2, 2))
+    # parts large enough for SEVERAL waves per factor: a W=1 part would
+    # mask slab-indexing bugs in the single-direction factor packing
+    # (exactly the round-5 self-review finding)
+    I, J, V, rows, cols = laplacian_fem((48, 48), (4, 1))
     A = psparse(I, J, V, PRange(rows), PRange(cols), backend4,
                 assembled=False, assemble=True)
     S = AdditiveSchwarz(A, mode="ilu0")
     assert S.mode == "ilu0"
+    assert S.sgsL.W >= 3 and S.sgsU.W >= 3, (S.sgsL.W, S.sgsU.W)
     rng = np.random.default_rng(0)
     r_parts = [rng.standard_normal(li.n_own) for li in A.row_prange.partition()]
     r = pvector_from_own(r_parts, A.row_prange, backend4)
