@@ -565,39 +565,56 @@ class _GalerkinCache:
         self.P0 = P0
         self.omega = float(omega)
         dinv = _dinv_parts(A)
-        self.S = _make_S(A, self.omega, dinv)
-        # value-refresh maps for S.  Canonicalize S's blocks FIRST: scipy's
-        # diag-matmul emits within-row entries in reverse order, so without
-        # sorting the "same pattern" of s_oh would NOT be the same storage
-        # order as a_oh and an identity data map would scramble values.
+        # Build S = I - omega D^-1 A with a VALUE-INDEPENDENT pattern
+        # (union of the identity diagonal and A's FULL stored pattern).
+        # _make_S's scipy diag-matmul prunes entries wherever A stores an
+        # explicit ZERO (and whole rows where dv = 0); at fixed sparsity
+        # a later refill may put a NONZERO there and a pruned plan would
+        # silently drop its contribution — so the cache constructs S's
+        # blocks itself and the refill maps are total by construction.
+        from ..psparse import PSparseMatrix as _PSM, _data_parts, _is_local_only
+        from ..ops.sparse_host import compresscoo
+
+        s_blocks = []
         self._s_maps = []
-        for p, (sb, ab) in enumerate(zip(self.S.blocks, A.blocks)):
-            sb["oo"].sort_indices()
-            sb["oh"].sort_indices()
+        for p, ab in enumerate(A.blocks):
             a_oo = _canon_csr(ab["oo"])
             a_oh = _canon_csr(ab["oh"])
-            coo = a_oo.tocoo()
-            map_a = precompute_nzindex(sb["oo"], coo.row, coo.col)
-            rows_a = coo.row.astype(np.int64)
+            dv = dinv[p]
             li_r = A.row_prange[p]
             li_c = A.col_prange[p]
             jco = li_c.global_to_own(li_r.own_to_global)
             drows = np.flatnonzero(jco >= 0)
-            diag_pos = precompute_nzindex(sb["oo"], drows, jco[drows])
-            # s_oh == canonical a_oh pattern: map is identity AFTER the
-            # sort above; verify the oh patterns really coincide
-            assert (map_a >= 0).all() and (diag_pos >= 0).all(), (
-                "S pattern does not cover A — explicit-zero pruning?"
+            coo = a_oo.tocoo()
+            I_s = np.concatenate([coo.row, drows])
+            J_s = np.concatenate([coo.col, jco[drows]])
+            V_s = np.concatenate(
+                [-self.omega * dv[coo.row] * coo.data, np.ones(drows.size)]
             )
-            assert sb["oh"].nnz == a_oh.nnz and np.array_equal(
-                sb["oh"].indptr, a_oh.indptr
-            ) and np.array_equal(sb["oh"].indices, a_oh.indices), (
-                "s_oh pattern != a_oh pattern"
-            )
+            s_oo = compresscoo(I_s, J_s, V_s, *a_oo.shape).astype(A.dtype)
             rows_oh = np.repeat(
                 np.arange(a_oh.shape[0], dtype=np.int64), np.diff(a_oh.indptr)
             )
-            self._s_maps.append((map_a, rows_a, diag_pos, rows_oh))
+            s_oh = sp.csr_matrix(
+                (
+                    (-self.omega * dv[rows_oh] * a_oh.data).astype(A.dtype),
+                    a_oh.indices.copy(),
+                    a_oh.indptr.copy(),
+                ),
+                shape=a_oh.shape,
+            )
+            s_blocks.append({"oo": s_oo, "oh": s_oh})
+            map_a = precompute_nzindex(s_oo, coo.row, coo.col)
+            diag_pos = precompute_nzindex(s_oo, drows, jco[drows])
+            assert (map_a >= 0).all() and (diag_pos >= 0).all()
+            self._s_maps.append(
+                (map_a, coo.row.astype(np.int64), diag_pos, rows_oh)
+            )
+        self.S = _PSM(
+            s_blocks, A.row_prange, A.col_prange, A.backend, True
+        )
+        if _is_local_only(A):
+            self.S._local_only = True
         self.P, self._cP = spmm(self.S, P0, reuse=True)
         self.AP, self._c1 = spmm(A, self.P, reuse=True)
         self.Ac, self._c2 = spmtm(self.P, self.AP, reuse=True)
