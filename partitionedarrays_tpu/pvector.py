@@ -201,7 +201,11 @@ def _own_mask(layout: VectorLayout):
     m = getattr(layout, "_own_mask", None)
     if m is None:
         idx = np.arange(layout.n_own_pad)[None, :]
-        m = jnp.asarray(idx < layout.n_own[:, None])
+        # the mask is CACHED on the layout: force a concrete array even
+        # when first requested inside a jit trace (a traced constant
+        # cached here would leak out of its trace)
+        with jax.ensure_compile_time_eval():
+            m = jnp.asarray(idx < layout.n_own[:, None])
         layout._own_mask = m
     return m
 
@@ -210,7 +214,10 @@ def _ghost_mask(layout: VectorLayout):
     m = getattr(layout, "_ghost_mask", None)
     if m is None:
         idx = np.arange(max(layout.n_ghost_pad, 1))[None, :]
-        m = jnp.asarray(idx < layout.n_ghost[:, None])[:, : layout.n_ghost_pad]
+        with jax.ensure_compile_time_eval():
+            m = jnp.asarray(idx < layout.n_ghost[:, None])[
+                :, : layout.n_ghost_pad
+            ]
         layout._ghost_mask = m
     return m
 
