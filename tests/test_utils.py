@@ -96,3 +96,7 @@ def test_example_failure_propagates(tmp_path):
 
 def test_example_per_process_runs():
     _run_example("per_process_example", "|x-x*|")
+
+
+def test_example_reuse_runs():
+    _run_example("reuse_example", "zero re-setup")
