@@ -189,10 +189,16 @@ def amg_cycle_bench():
     dt = slope_time_per_iter(make_loop, (M, b.own), k_small=8, k_big=264)
     x, info = cg(A, b, M=M, rtol=1e-8, maxiter=100)
     # re-coarsen at fixed sparsity (parity: amg_update!, amg.jl:925-942) —
-    # the Newton/ODE-loop workflow; aggregation is reused
-    t0 = time.perf_counter()
-    M.update(A)
-    t_update = time.perf_counter() - t0
+    # the Newton/ODE-loop workflow; aggregation, omega and every routing
+    # plan are frozen, so the steady-state cost is what a Newton step
+    # pays: min over a few updates (the first one absorbs one-time
+    # canonicalization + compile-cache traffic)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        M.update(A)
+        ts.append(time.perf_counter() - t0)
+    t_update = min(ts)
     return dt, t_setup, int(info.iterations), t_update
 
 
