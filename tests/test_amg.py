@@ -159,6 +159,15 @@ def test_amg_elasticity_with_nullspace():
     # with nullspace AMG, CG beats unpreconditioned
     base = int(cg(A, b, rtol=1e-10, maxiter=500)[1].iterations)
     assert int(info.iterations) < base
+    # values-only update at fixed sparsity on the BLOCK-SYSTEM hierarchy
+    # (exercises the Galerkin reuse plans + smoother refresh_values on
+    # whatever smoother tier the elasticity levels selected)
+    A2 = psparse(I, J, [2.0 * v for v in V], PRange(rows), PRange(cols),
+                 backend)
+    M.update(A2)
+    x2, info2 = cg(A2, b, M=M, rtol=1e-10, maxiter=300)
+    assert np.linalg.norm(2.0 * collect(x2) - x_exact) < 1e-4
+    assert int(info2.iterations) <= int(info.iterations) + 5
 
 
 def test_default_nullspace(backend4):
