@@ -1142,7 +1142,24 @@ def _dst_maps(blocks: dict, info):
         if not sel.any():
             continue
         idx = np.flatnonzero(sel)
-        pos = precompute_nzindex(blk, ri[sel], ci[sel])
+        rsel = ri[sel]
+        csel = ci[sel]
+        # fast path: when the selected triplets are exactly the block's
+        # canonical storage order (the COMMON case — canonical product
+        # inputs with ascending own orders keep classification-mask
+        # subsets canonical), positions are just arange; the O(nnz)
+        # equality check is ~10x cheaper than the binary search
+        pos = None
+        if rsel.size == blk.nnz:
+            blk_rows = np.repeat(
+                np.arange(blk.shape[0], dtype=rsel.dtype), np.diff(blk.indptr)
+            )
+            if np.array_equal(blk_rows, rsel) and np.array_equal(
+                blk.indices, csel
+            ):
+                pos = np.arange(blk.nnz, dtype=np.int64)
+        if pos is None:
+            pos = precompute_nzindex(blk, rsel, csel)
         dst_block[idx] = bi
         dst_pos[idx] = pos
     return dst_block, dst_pos
