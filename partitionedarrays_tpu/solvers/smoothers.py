@@ -718,6 +718,36 @@ class AdditiveSchwarz:
                 "(e.g. a GaussSeidel) instead"
             )
 
+    def apply(self, x: PVector, b: PVector) -> PVector:
+        """In-solver smoothing: one Schwarz correction from the current
+        iterate, x <- x + M (b - A x) (parity: additive_schwarz =
+        richardson o local-solve, smoothers.jl:33-74 + :349-355).  This
+        is what lets AdditiveSchwarz serve as an AMG level smoother."""
+        from ..psparse import spmv
+
+        r = spmv(self.A, _to_layout(x, self.A.col_layout()), alpha=-1.0,
+                 beta=1.0, y=_to_layout(b, self.A.row_layout()))
+        z = self(_to_layout(r, b.layout))
+        return PVector(x.own + z.own, x.ghost, x.layout, x.backend)
+
+    def refresh_values(self, A: PSparseMatrix) -> None:
+        """Refresh the local factors for new matrix VALUES at fixed
+        sparsity (the smoother leg of AMGPreconditioner.update).  Rebuilds
+        a fresh Schwarz and grafts its device arrays into this object so
+        identity-keyed compiled programs are reused."""
+        g2 = AdditiveSchwarz(A, self.local_solver, self.mode if self.mode != "custom" else "auto")
+        if g2.mode != self.mode:
+            raise ValueError(
+                "refresh_values: the new matrix selected a different "
+                "Schwarz tier — rebuild instead"
+            )
+        self.A = A
+        if self.mode == "dense":
+            self.lu, self.piv = g2.lu, g2.piv
+        elif self.mode == "ilu0":
+            self.sgsL.arrs = g2.sgsL.arrs
+            self.sgsU.arrs = g2.sgsU.arrs
+
     def __call__(self, r: PVector) -> PVector:
         if self.local_solver is not None:
             return self.local_solver(r)

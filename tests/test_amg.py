@@ -254,3 +254,30 @@ def test_large_coarse_space_uses_lu_apply(backend4):
 
     r = axpy(-1.0, spmv(A, x), b)
     assert float(_np.sqrt(_np.asarray(pdot(r, r)).max())) / nb < 1e-5
+
+
+def test_amg_schwarz_smoother(backend4):
+    """AMGParams(smoother="schwarz"): additive Schwarz (the reference's
+    default smoother family, amg.jl:770) as the level smoother — cycle,
+    preconditioned CG and the fixed-sparsity update all work."""
+    A = build_fdm(backend4, (16, 16), (2, 2))
+    x_exact, b = manufactured(A, backend4)
+    M = amg(A, AMGParams(coarse_size=20, smoother="schwarz"))
+    from partitionedarrays_tpu.solvers.smoothers import AdditiveSchwarz
+
+    assert isinstance(M.levels[0].smoother, AdditiveSchwarz)
+    x, info = cg(A, b, M=M, rtol=1e-10, maxiter=200)
+    assert np.linalg.norm(collect(x) - x_exact) < 1e-5
+    assert int(info.iterations) <= 25
+    # values-only update keeps the Schwarz factors fresh
+    from partitionedarrays_tpu import psparse as _psparse_mod  # noqa
+    from partitionedarrays_tpu.models.gallery import laplacian_fdm
+    from partitionedarrays_tpu.parallel.p_range import PRange
+    from partitionedarrays_tpu.psparse import psparse
+
+    I, J, V, rows, cols = laplacian_fdm((16, 16), (2, 2))
+    A2 = psparse(I, J, [3.0 * v for v in V], PRange(rows), PRange(cols),
+                 backend4, assembled=True)
+    M.update(A2)
+    x2, info2 = cg(A2, b, M=M, rtol=1e-10, maxiter=200)
+    assert np.linalg.norm(3.0 * collect(x2) - x_exact) < 1e-5
