@@ -400,6 +400,28 @@ def _amg_local(backend, pid, local, P):
     iters = int(np.asarray(jax.device_get(info.iterations)))
     assert iters < 100, "AMG-CG did not converge"
 
+    # fixed-sparsity update on the PER-PROCESS hierarchy: the reuse-plan
+    # tier declines local_only matrices, so update falls back to a full
+    # re-setup at frozen aggregates — all its exchanges are cross-process
+    V2 = [None if v is None else 2.0 * v for v in V]
+    A2 = psparse_local(I, J, V2, PRange(rows), PRange(cols), backend)
+    aggs_before = [e[0] for e in M._aggs]
+    M.update(A2)
+    for a0, e in zip(aggs_before, M._aggs):
+        assert a0 is e[0], "update did not reuse aggregates"
+    x2u, info_u = cg(A2, b, M=M, rtol=1e-6, maxiter=100)
+    assert int(np.asarray(jax.device_get(info_u.iterations))) < 100, (
+        "AMG-CG after per-process update did not converge"
+    )
+    for sh in x2u.own.addressable_shards:
+        p = sh.index[0].start
+        li = A2.row_prange.partition()[p]
+        got = 2.0 * np.asarray(sh.data)[0, : li.n_own]
+        err = np.abs(got - xg[li.own_to_global]).max()
+        assert err < 1e-3 * max(1.0, np.abs(xg).max()), (
+            f"pid={pid} part={p} UPDATE MISMATCH err={err}"
+        )
+
     # GS-smoothed CG directly on the per-process generic operator
     # (round-3 VERDICT missing #4): the smoother compiles to
     # cross-process-AGREED dims (agreed-DIA or agreed slot tile-GS)
