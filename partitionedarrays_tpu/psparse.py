@@ -1168,11 +1168,22 @@ def _dst_maps(blocks: dict, info):
 class _MatRoutes:
     """Frozen value-routing plan between two fixed-sparsity PSparseMatrix
     objects: ``refill`` zeroes the destination data arrays and scatter-adds
-    every source value at its recorded position."""
+    every source value at its recorded position.
+
+    PER-PROCESS matrices (``_local_only``): the destination side may
+    record routes whose SOURCE part lives on another process (its tag
+    rode the construction-time wire).  ``finalize_multiprocess`` sends
+    each remote source a one-time request descriptor (which block
+    positions to ship); every ``refill`` then runs ONE collective value
+    exchange — cross-process refill traffic is exactly the values that
+    crossed at construction (O(surface)), and the routing never re-runs."""
 
     def __init__(self):
         self._acc: dict = {}
         self.routes: list = []
+        self.send_plan: dict = {}   # (src_p, dst_p) -> (sbi, spos)
+        self.recv_scatter: dict = {}  # (src_p, dst_p) -> (dbi, dpos)
+        self.multiprocess = False
 
     def add(self, dst_p: int, tags, dst_block, dst_pos) -> None:
         ok = (dst_pos >= 0) & (dst_block >= 0)
@@ -1202,16 +1213,84 @@ class _MatRoutes:
         self._acc = {}
         return self
 
-    def refill(self, src: "PSparseMatrix", out: "PSparseMatrix") -> None:
-        _canonicalize_blocks(src)
+    def finalize_multiprocess(self, backend, P: int, dtype) -> "_MatRoutes":
+        """One-time setup of the cross-process refill exchange: routes
+        whose source part is remote become (a) a request descriptor sent
+        to the source's process and (b) a local scatter plan aligned with
+        the values that descriptor will produce.  COLLECTIVE."""
+        from .parallel.host_exchange import exchange_part_messages
+
+        self.multiprocess = True
+        self.dtype = np.dtype(dtype)
+        local = set(backend.local_parts())
+        local_routes, remote = [], {}
+        for r in self.routes:
+            (dst_p, dbi, src_p, sbi, spos, dpos) = r
+            if src_p in local:
+                local_routes.append(r)
+            else:
+                remote.setdefault((dst_p, src_p), []).append(r)
+        self.routes = local_routes
+        reqs: dict = {}
+        for (dst_p, src_p), rs in sorted(remote.items()):
+            rs = sorted(rs, key=lambda r: (r[1], r[3]))  # (dbi, sbi)
+            sbi = np.concatenate(
+                [np.full(r[4].size, r[3], dtype=np.int64) for r in rs]
+            )
+            spos = np.concatenate([r[4] for r in rs]).astype(np.int64)
+            dbi = np.concatenate(
+                [np.full(r[5].size, r[1], dtype=np.int64) for r in rs]
+            )
+            dpos = np.concatenate([r[5] for r in rs]).astype(np.int64)
+            reqs[(dst_p, src_p)] = (sbi, spos)
+            self.recv_scatter[(src_p, dst_p)] = (dbi, dpos)
+        rcv = exchange_part_messages(
+            backend, P, reqs, (np.int64, np.int64)
+        )
+        # rcv keys are (dst_p, src_p) with src_p LOCAL here: this process
+        # must ship src_p's values to dst_p on every refill
+        for (dst_p, src_p), (sbi, spos) in rcv.items():
+            self.send_plan[(src_p, dst_p)] = (sbi, spos)
+        return self
+
+    def refill(self, src, out: "PSparseMatrix", data_of=None) -> None:
+        """``data_of(src_p, block_name) -> values`` overrides the default
+        source accessor (a PSparseMatrix's canonical block data) — e.g.
+        the spmtm refill routes values straight out of the recomputed
+        local products."""
+        if data_of is None:
+            _canonicalize_blocks(src)
+            data_of = lambda p, name: _canon_data(src.blocks[p][name])
         for b in out.blocks:
             for name in _BLOCK_ORDER:
                 if b.get(name) is not None:
                     b[name].data[:] = 0
         for (dst_p, dbi, src_p, sbi, spos, dpos) in self.routes:
-            sdata = _canon_data(src.blocks[src_p][_BLOCK_ORDER[sbi]])
+            sdata = data_of(src_p, _BLOCK_ORDER[sbi])
             ddata = out.blocks[dst_p][_BLOCK_ORDER[dbi]].data
             np.add.at(ddata, dpos, sdata[spos])
+        if self.multiprocess:
+            from .parallel.host_exchange import exchange_part_messages
+
+            msgs: dict = {}
+            for (src_p, dst_p), (sbi, spos) in sorted(self.send_plan.items()):
+                vals = np.empty(spos.size, dtype=self.dtype)
+                for bi in np.unique(sbi):
+                    m = sbi == bi
+                    vals[m] = data_of(src_p, _BLOCK_ORDER[int(bi)])[spos[m]]
+                msgs[(src_p, dst_p)] = (vals,)
+            rcv = exchange_part_messages(
+                out.backend, out.row_prange.n_parts, msgs, (self.dtype,)
+            )
+            for (src_p, dst_p), (vals,) in rcv.items():
+                dbi, dpos = self.recv_scatter[(src_p, dst_p)]
+                for bi in np.unique(dbi):
+                    m = dbi == bi
+                    np.add.at(
+                        out.blocks[dst_p][_BLOCK_ORDER[int(bi)]].data,
+                        dpos[m],
+                        vals[m],
+                    )
         out.invalidate_device()
 
 
@@ -1284,11 +1363,6 @@ def assemble_matrix(A: PSparseMatrix, reuse: bool = False) -> Task:
     if A.assembled:
         return Task((A, None)) if reuse else Task(A)
     local_only = _is_local_only(A)
-    if reuse and local_only:
-        raise ValueError(
-            "assemble_matrix(reuse=True): unsupported on a per-process "
-            "(_local_only) matrix — rebuild instead"
-        )
     P = A.row_prange.n_parts
     dtype = A.dtype
     row_parts = A.row_prange.partition()
@@ -1317,7 +1391,8 @@ def assemble_matrix(A: PSparseMatrix, reuse: bool = False) -> Task:
                 if reuse:
                     msg = msg + (Tg[grp],)
                 msgs[(p, int(owners[grp[0]]))] = msg
-    rcv = _route_msgs(A.backend, P, msgs, (INT, INT, dtype), local_only)
+    wire_dtypes = (INT, INT, dtype) + ((np.int64,) if reuse else ())
+    rcv = _route_msgs(A.backend, P, msgs, wire_dtypes, local_only)
     # unpack + merge on each owner
     blocks: dict = {}
     built_cols: dict = {}
@@ -1349,7 +1424,10 @@ def assemble_matrix(A: PSparseMatrix, reuse: bool = False) -> Task:
     if local_only:
         out._local_only = True
     if reuse:
-        return Task((out, routes.finalize()))
+        routes.finalize()
+        if local_only:
+            routes.finalize_multiprocess(A.backend, P, dtype)
+        return Task((out, routes))
     return Task(out)
 
 
@@ -1384,11 +1462,6 @@ def consistent_matrix(
     only local parts' blocks are built."""
     assert A.assembled
     local_only = _is_local_only(A)
-    if reuse and local_only:
-        raise ValueError(
-            "consistent_matrix(reuse=True): unsupported on a per-process "
-            "(_local_only) matrix — rebuild instead"
-        )
     P = rows_co.n_parts
     dtype = A.dtype
     data = _data_parts(A)
@@ -1435,7 +1508,8 @@ def consistent_matrix(
             if reuse:
                 msg = msg + (loc_tags[_csr_row_slice_positions(loc, pos)],)
             msgs[(o, p)] = msg
-    rcv = _route_msgs(A.backend, P, msgs, (INT, INT, dtype), local_only)
+    wire_dtypes = (INT, INT, dtype) + ((np.int64,) if reuse else ())
+    rcv = _route_msgs(A.backend, P, msgs, wire_dtypes, local_only)
     # merge on the requester: own rows stay, fetched rows become ho/hh
     blocks: dict = {}
     built_cols: dict = {}
@@ -1471,7 +1545,10 @@ def consistent_matrix(
     if local_only:
         out._local_only = True
     if reuse:
-        return Task((out, routes.finalize()))
+        routes.finalize()
+        if local_only:
+            routes.finalize_multiprocess(A.backend, P, dtype)
+        return Task((out, routes))
     return Task(out)
 
 
@@ -1757,10 +1834,6 @@ def spmm(A: PSparseMatrix, B: PSparseMatrix, reuse: bool = False):
     local_only = _is_local_only(A) or _is_local_only(B)
     if _is_local_only(A) != _is_local_only(B):
         raise ValueError("spmm: mixed per-process and replicated operands")
-    if reuse and local_only:
-        raise ValueError(
-            "spmm(reuse=True): unsupported on per-process matrices — rebuild"
-        )
     from .parallel.p_range import matching_own_indices
 
     rows_co = PRange(
@@ -1877,11 +1950,11 @@ class _SpmtmCache:
     def __init__(self):
         self.parts: dict = {}
         self.pcache = None
+        self.routes = None  # per-process mode: a _MatRoutes plan instead
 
     def refill(self, C: PSparseMatrix, A: PSparseMatrix, B: PSparseMatrix):
         _canonicalize_blocks(A)
         _canonicalize_blocks(B)
-        V_parts = []
         P = C.row_prange.n_parts
         vals = {p: None for p in range(P)}
         for p, (A_loc, a_fill, AT, tpos, B_loc, b_fill) in self.parts.items():
@@ -1894,6 +1967,13 @@ class _SpmtmCache:
             Cm.sum_duplicates()
             Cm.sort_indices()
             vals[p] = Cm.data
+        if self.routes is not None:
+            # per-process: route the recomputed product values through the
+            # frozen plan (cross-process values ride ONE exchange)
+            self.routes.refill(
+                None, C, data_of=lambda p, name: vals[p]
+            )
+            return
         V_parts = [
             vals[p] if vals[p] is not None else np.zeros(0, dtype=C.dtype)
             for p in range(P)
@@ -1913,10 +1993,6 @@ def spmtm(A: PSparseMatrix, B: PSparseMatrix, reuse: bool = False):
     local_only = _is_local_only(A) or _is_local_only(B)
     if _is_local_only(A) != _is_local_only(B):
         raise ValueError("spmtm: mixed per-process and replicated operands")
-    if reuse and local_only:
-        raise ValueError(
-            "spmtm(reuse=True): unsupported on per-process matrices — rebuild"
-        )
     if A.row_prange.n_global != B.row_prange.n_global:
         raise ValueError("spmtm: A and B must share the row partition")
     dtype = np.result_type(A.dtype, B.dtype)
@@ -1954,6 +2030,23 @@ def spmtm(A: PSparseMatrix, B: PSparseMatrix, reuse: bool = False):
     cols = PRange([li.remove_ghost() for li in b_cols])
     if reuse:
         P = rows.n_parts
+        if local_only:
+            # per-process: the owner shuffle itself carries position tags
+            # and freezes into a _MatRoutes plan
+            tags = [
+                _tag_base(p, 0) | np.arange(tri[p][2].size, dtype=np.int64)
+                if p in tri
+                else None
+                for p in range(P)
+            ]
+            C, routes = psparse_local(
+                [tri[p][0] if p in tri else None for p in range(P)],
+                [tri[p][1] if p in tri else None for p in range(P)],
+                [tri[p][2] if p in tri else None for p in range(P)],
+                rows, cols, A.backend, dtype=dtype, tags=tags,
+            )
+            cache.routes = routes
+            return C, cache
         C, pcache = psparse(
             [tri[p][0] if p in tri else np.zeros(0, dtype=INT) for p in range(P)],
             [tri[p][1] if p in tri else np.zeros(0, dtype=INT) for p in range(P)],
@@ -2068,6 +2161,7 @@ def psparse_local(
     cols,
     backend: Backend,
     dtype=None,
+    tags: Optional[Sequence[Optional[np.ndarray]]] = None,
 ) -> PSparseMatrix:
     """PER-PROCESS disassembled COO constructor (multihost generic path;
     parity: the reference's per-rank construction, src/mpi_array.jl:42-53 +
@@ -2088,7 +2182,11 @@ def psparse_local(
     Result is an assembled PSparseMatrix with ``_local_only=True`` —
     host setup ops without a per-process implementation raise loudly
     (see ``_require_full_blocks``).  The wire-cost stats of the shuffle
-    are left in ``backend._last_local_build_stats`` for tests."""
+    are left in ``backend._last_local_build_stats`` for tests.
+
+    ``tags``: optional per-part int64 source tags riding the shuffle —
+    the reuse tier's construction-time recording; when given, returns
+    ``(A, routes)`` with the frozen cross-process value-routing plan."""
     from .parallel.host_exchange import (
         allgather_part_arrays,
         exchange_part_messages,
@@ -2111,29 +2209,37 @@ def psparse_local(
         I = np.asarray(I_parts[p], dtype=INT)
         J = np.asarray(J_parts[p], dtype=INT)
         V = np.asarray(V_parts[p], dtype=dtype)
+        T = (
+            np.asarray(tags[p], dtype=np.int64) if tags is not None else None
+        )
         full = [np.zeros(0, dtype=INT)] * P
         full[p] = I
         o = np.asarray(find_owner(row_parts, full)[p], dtype=INT)
         ordr = np.argsort(o, kind="stable")
         so = o[ordr]
         Is, Js, Vs = I[ordr], J[ordr], V[ordr]
+        Ts = T[ordr] if T is not None else None
         bounds = np.searchsorted(so, np.arange(P + 1))
         for d in range(P):
             lo, hi = bounds[d], bounds[d + 1]
             if hi <= lo:
                 continue
             seg = (Is[lo:hi], Js[lo:hi], Vs[lo:hi])
+            if Ts is not None:
+                seg = seg + (Ts[lo:hi],)
             if d in local_set:
                 kept.setdefault(d, []).append(seg)
             else:
                 msgs[(p, d)] = seg
     stats: dict = {}
+    wire_dtypes = (INT, INT, dtype) + ((np.int64,) if tags is not None else ())
     rcv = exchange_part_messages(
-        backend, P, msgs, (INT, INT, dtype), stats=stats
+        backend, P, msgs, wire_dtypes, stats=stats
     )
     backend._last_local_build_stats = stats
 
     # -- 2. build local blocks -------------------------------------------
+    routes = _MatRoutes() if tags is not None else None
     blocks_local, ghost_meta = {}, {}
     z = np.zeros(0, dtype=INT)
     for p in local:
@@ -2147,12 +2253,19 @@ def psparse_local(
             if chunks
             else np.zeros(0, dtype=dtype)
         )
-        blocks, li_r2, li_c2, _ = _build_part_blocks(
+        blocks, li_r2, li_c2, info = _build_part_blocks(
             row_parts[p], cols_pr[p], I.astype(INT), J.astype(INT),
             V.astype(dtype), False, dtype
         )
         blocks_local[p] = blocks
         ghost_meta[p] = (li_c2.ghost_to_global, li_c2.ghost_to_owner)
+        if routes is not None:
+            T_cat = (
+                np.concatenate([c[3] for c in chunks])
+                if chunks
+                else np.zeros(0, dtype=np.int64)
+            )
+            routes.add(p, T_cat, *_dst_maps(blocks, info))
 
     # -- 3. sync column-ghost metadata (O(surface)) ----------------------
     gids = allgather_part_arrays(
@@ -2193,6 +2306,10 @@ def psparse_local(
     # (make_array_from_callback) cannot run under a jit trace, and setup
     # is the natural place for the one-time local materialization anyway
     A.device()
+    if routes is not None:
+        routes.finalize()
+        routes.finalize_multiprocess(backend, P, dtype)
+        return A, routes
     return A
 
 

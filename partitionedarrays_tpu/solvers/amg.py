@@ -575,9 +575,20 @@ class _GalerkinCache:
         from ..psparse import PSparseMatrix as _PSM, _data_parts, _is_local_only
         from ..ops.sparse_host import compresscoo
 
+        data = set(_data_parts(A))
         s_blocks = []
         self._s_maps = []
         for p, ab in enumerate(A.blocks):
+            if p not in data:
+                from ..psparse import _placeholder_blocks
+
+                s_blocks.append(
+                    _placeholder_blocks(
+                        A.row_prange[p], A.col_prange[p], A.dtype
+                    )
+                )
+                self._s_maps.append(None)
+                continue
             a_oo = _canon_csr(ab["oo"])
             a_oh = _canon_csr(ab["oh"])
             dv = dinv[p]
@@ -633,6 +644,8 @@ class _GalerkinCache:
         _canonicalize_blocks(A)
         dinv = _dinv_parts(A)
         for p, (sb, ab) in enumerate(zip(self.S.blocks, A.blocks)):
+            if self._s_maps[p] is None:  # non-local placeholder part
+                continue
             map_a, rows_a, diag_pos, rows_oh = self._s_maps[p]
             dv = dinv[p]
             soo = sb["oo"].data
@@ -706,7 +719,9 @@ class AMGPreconditioner:
         current = A
         ns = self.nullspace
         bs = params.block_size if ns is not None else 1
-        reuse_ok = not _is_local_only(A)
+        # the reuse tier covers per-process matrices too (round 5): the
+        # Galerkin plans freeze cross-process value routes
+        reuse_ok = True
         self._galerkin: List[_GalerkinCache] = []
         if not reuse_aggregates:
             self._aggs: List = []  # (aggs, coarse) per level, for update()

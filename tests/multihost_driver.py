@@ -400,9 +400,11 @@ def _amg_local(backend, pid, local, P):
     iters = int(np.asarray(jax.device_get(info.iterations)))
     assert iters < 100, "AMG-CG did not converge"
 
-    # fixed-sparsity update on the PER-PROCESS hierarchy: the reuse-plan
-    # tier declines local_only matrices, so update falls back to a full
-    # re-setup at frozen aggregates — all its exchanges are cross-process
+    # fixed-sparsity update on the PER-PROCESS hierarchy through the
+    # frozen reuse plans (round 5): the Galerkin caches carry
+    # cross-process value routes, so the refill's wire traffic is one
+    # value exchange per plan — no re-aggregation, no symbolic products
+    assert len(M._galerkin) == len(M.levels) - 1, "reuse plans missing"
     V2 = [None if v is None else 2.0 * v for v in V]
     A2 = psparse_local(I, J, V2, PRange(rows), PRange(cols), backend)
     aggs_before = [e[0] for e in M._aggs]
@@ -420,6 +422,27 @@ def _amg_local(backend, pid, local, P):
         err = np.abs(got - xg[li.own_to_global]).max()
         assert err < 1e-3 * max(1.0, np.abs(xg).max()), (
             f"pid={pid} part={p} UPDATE MISMATCH err={err}"
+        )
+
+    # per-process REUSE tier (round 5): spmm(reuse=True) freezes the
+    # cross-process value routes (construction tags rode the wire); the
+    # refill's only cross-process traffic is ONE value exchange of the
+    # entries that crossed at build time
+    from partitionedarrays_tpu.psparse import spmm_into
+
+    C2, c2cache = spmm(A, A, reuse=True)
+    spmm_into(C2, A2, A2, c2cache)  # A2 = 2*A -> C2 must become 4*G@G
+    yc2 = jax.jit(lambda C, x: spmv(C, x).own)(
+        C2, pones(C2.col_prange, backend, dtype=np.float32)
+    )
+    ref4 = 4.0 * ref2
+    for sh in yc2.addressable_shards:
+        p = sh.index[0].start
+        li = C2.row_prange.partition()[p]
+        got = np.asarray(sh.data)[0, : li.n_own]
+        err = np.abs(got - ref4[li.own_to_global]).max()
+        assert err < 1e-2 * max(1.0, np.abs(ref4).max()), (
+            f"pid={pid} part={p} SPMM-REUSE MISMATCH err={err}"
         )
 
     # GS-smoothed CG directly on the per-process generic operator
