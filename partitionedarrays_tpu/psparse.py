@@ -1802,9 +1802,13 @@ class _SpmmCache:
         self.bc_cache = bc_cache
         self.parts: dict = {}
 
-    def refill(self, C: PSparseMatrix, A: PSparseMatrix, B: PSparseMatrix):
+    def refill(
+        self, C: PSparseMatrix, A: PSparseMatrix, B: PSparseMatrix,
+        refresh_b: bool = True,
+    ):
         _canonicalize_blocks(A)
-        consistent_matrix_into(self.Bc, B, self.bc_cache)
+        if refresh_b:
+            consistent_matrix_into(self.Bc, B, self.bc_cache)
         for p, (A_loc, a_fill, B_loc, b_fill, dst) in self.parts.items():
             for bi, idx in a_fill.items():
                 A_loc.data[idx] = _canon_data(A.blocks[p][_BLOCK_ORDER[bi]])
@@ -1933,11 +1937,17 @@ def spmm(A: PSparseMatrix, B: PSparseMatrix, reuse: bool = False):
 
 
 def spmm_into(
-    C: PSparseMatrix, A: PSparseMatrix, B: PSparseMatrix, cache: _SpmmCache
+    C: PSparseMatrix,
+    A: PSparseMatrix,
+    B: PSparseMatrix,
+    cache: _SpmmCache,
+    refresh_b: bool = True,
 ) -> None:
     """Values-only C = A @ B at fixed sparsity (parity: spmm!,
-    src/p_sparse_matrix.jl:2248-2261)."""
-    cache.refill(C, A, B)
+    src/p_sparse_matrix.jl:2248-2261).  ``refresh_b=False`` skips the
+    consistent-copy refresh of B — valid ONLY when B's values are frozen
+    since the last refill (e.g. the tentative prolongator P0)."""
+    cache.refill(C, A, B, refresh_b=refresh_b)
 
 
 class _SpmtmCache:

@@ -654,7 +654,10 @@ class _GalerkinCache:
             np.add.at(soo, diag_pos, 1.0)
             sb["oh"].data[:] = -self.omega * dv[rows_oh] * _canon_data(ab["oh"])
         self.S.invalidate_device()
-        spmm_into(self.P, self.S, self.P0, self._cP)
+        # P0 is FROZEN (aggregates + nullspace fixed): its consistent
+        # copy needs no refresh — one value scatter (and, per-process, one
+        # collective exchange) saved per level per update
+        spmm_into(self.P, self.S, self.P0, self._cP, refresh_b=False)
         spmm_into(self.AP, A, self.P, self._c1)
         spmtm_into(self.Ac, self.P, self.AP, self._c2)
         return self.Ac
@@ -792,7 +795,9 @@ class AMGPreconditioner:
             if params.smoother == "schwarz":
                 from .smoothers import AdditiveSchwarz
 
-                level_smoother = AdditiveSchwarz(current)
+                level_smoother = AdditiveSchwarz(
+                    current, iterations=params.smoother_iters
+                )
                 struct = None  # struct fast paths assume a GS smoother
             else:
                 level_smoother = GaussSeidel(

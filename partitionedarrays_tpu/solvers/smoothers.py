@@ -654,10 +654,12 @@ class AdditiveSchwarz:
         A: PSparseMatrix,
         local_solver: Optional[Callable] = None,
         mode: str = "auto",
+        iterations: int = 1,
     ):
         if mode not in ("auto", "dense", "ilu0"):
             raise ValueError(f"mode must be auto/dense/ilu0, got {mode!r}")
         self.A = A
+        self.iterations = int(iterations)
         self.local_solver = local_solver
         self.lu = self.piv = None
         self.sgsL = self.sgsU = None
@@ -669,12 +671,18 @@ class AdditiveSchwarz:
             mode = "dense" if lay.n_own_pad <= self._DENSE_MAX else "ilu0"
         self.mode = mode
         if mode == "dense":
+            from ..psparse import _data_parts
+
+            data = set(_data_parts(A))
             n = lay.n_own_pad
             mats = []
-            for b, li in zip(A.blocks, A.row_prange.partition()):
-                d = np.eye(n, dtype=np.asarray(b["oo"].toarray()).dtype)
-                k = li.n_own
-                d[:k, :k] = b["oo"].toarray()
+            for p, (b, li) in enumerate(
+                zip(A.blocks, A.row_prange.partition())
+            ):
+                d = np.eye(n, dtype=np.dtype(A.dtype))
+                if p in data:  # placeholder parts keep the identity
+                    k = li.n_own
+                    d[:k, :k] = b["oo"].toarray()
                 mats.append(d)
             dense = jnp.asarray(np.stack(mats))
             lu, piv = jax.scipy.linalg.lu_factor(dense)
@@ -719,23 +727,40 @@ class AdditiveSchwarz:
             )
 
     def apply(self, x: PVector, b: PVector) -> PVector:
-        """In-solver smoothing: one Schwarz correction from the current
-        iterate, x <- x + M (b - A x) (parity: additive_schwarz =
-        richardson o local-solve, smoothers.jl:33-74 + :349-355).  This
-        is what lets AdditiveSchwarz serve as an AMG level smoother."""
+        """In-solver smoothing: ``iterations`` Schwarz corrections from
+        the current iterate, x <- x + M (b - A x) each (parity:
+        additive_schwarz = richardson o local-solve, smoothers.jl:33-74 +
+        :349-355).  This is what lets AdditiveSchwarz serve as an AMG
+        level smoother."""
         from ..psparse import spmv
 
-        r = spmv(self.A, _to_layout(x, self.A.col_layout()), alpha=-1.0,
-                 beta=1.0, y=_to_layout(b, self.A.row_layout()))
-        z = self(_to_layout(r, b.layout))
-        return PVector(x.own + z.own, x.ghost, x.layout, x.backend)
+        for _ in range(self.iterations):
+            r = spmv(self.A, _to_layout(x, self.A.col_layout()), alpha=-1.0,
+                     beta=1.0, y=_to_layout(b, self.A.row_layout()))
+            z = self(_to_layout(r, b.layout))
+            x = PVector(x.own + z.own, x.ghost, x.layout, x.backend)
+        return x
 
     def refresh_values(self, A: PSparseMatrix) -> None:
         """Refresh the local factors for new matrix VALUES at fixed
         sparsity (the smoother leg of AMGPreconditioner.update).  Rebuilds
         a fresh Schwarz and grafts its device arrays into this object so
-        identity-keyed compiled programs are reused."""
-        g2 = AdditiveSchwarz(A, self.local_solver, self.mode if self.mode != "custom" else "auto")
+        identity-keyed compiled programs are reused.  (The ilu0 tier
+        re-runs its wave scheduling even though at fixed sparsity only
+        the numeric factorization changes — a known inefficiency of this
+        leg, not a correctness issue.)"""
+        if self.mode == "custom":
+            inner = getattr(self.local_solver, "refresh_values", None)
+            if inner is None:
+                raise ValueError(
+                    "refresh_values: cannot refresh a user-supplied "
+                    "local_solver without its own refresh_values — "
+                    "rebuild the AdditiveSchwarz instead"
+                )
+            inner(A)
+            self.A = A
+            return
+        g2 = AdditiveSchwarz(A, None, self.mode, self.iterations)
         if g2.mode != self.mode:
             raise ValueError(
                 "refresh_values: the new matrix selected a different "
@@ -781,8 +806,9 @@ def additive_schwarz(
     A: PSparseMatrix,
     local_solver: Optional[Callable] = None,
     mode: str = "auto",
+    iterations: int = 1,
 ) -> AdditiveSchwarz:
-    return AdditiveSchwarz(A, local_solver, mode)
+    return AdditiveSchwarz(A, local_solver, mode, iterations)
 
 
 _register_identity_pytree(JacobiCorrection, ("inv_diag",))
